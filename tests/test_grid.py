@@ -1,0 +1,95 @@
+"""Interpolation core: value/grad/Hessian correctness and AD consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from differentiable_sdf_rendering_tpu.ops import grid as gridops
+from differentiable_sdf_rendering_tpu.ops.initializers import voxel_centers
+
+
+def _linear_grid(res, coef=(0.7, -0.3, 0.2), off=0.1):
+    pts = voxel_centers(res)
+    a = jnp.asarray(coef)
+    return jnp.sum(pts * a, axis=-1) + off, a, off
+
+
+def test_bspline_partition_of_unity():
+    f = jnp.linspace(0.0, 1.0, 33)
+    w, dw, ddw = gridops.bspline_weights(f)
+    np.testing.assert_allclose(np.sum(np.asarray(w), -1), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.sum(np.asarray(dw), -1), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.sum(np.asarray(ddw), -1), 0.0, atol=1e-5)
+
+
+def test_linear_reproduction():
+    """Cubic B-splines reproduce linear functions exactly (away from clamp)."""
+    res = 16
+    data, a, off = _linear_grid(res)
+    key = jax.random.PRNGKey(0)
+    # stay > 2 voxels from the boundary to avoid the clamped-tap region
+    p = jax.random.uniform(key, (256, 3), minval=3.5 / res, maxval=1.0 - 3.5 / res)
+    v = gridops.grid_eval(data, p)
+    expected = jnp.sum(p * a, -1) + off
+    np.testing.assert_allclose(np.asarray(v), np.asarray(expected), atol=1e-5)
+
+    v2, g = gridops.grid_eval_grad(data, p)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(expected), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.tile(np.asarray(a), (256, 1)), atol=1e-4)
+
+    v3, g3, h = gridops.grid_eval_all(data, p)
+    np.testing.assert_allclose(np.asarray(v3), np.asarray(expected), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), 0.0, atol=2e-3)
+
+
+@pytest.fixture
+def random_grid():
+    key = jax.random.PRNGKey(7)
+    return jax.random.normal(key, (12, 10, 14), jnp.float32) * 0.1
+
+
+def test_grad_matches_autodiff(random_grid):
+    p = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=0.2, maxval=0.8)
+    _, g = gridops.grid_eval_grad(random_grid, p)
+    g_ad = jax.vmap(jax.grad(lambda q: gridops.grid_eval(random_grid, q)))(p)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad), rtol=2e-4, atol=1e-5)
+
+
+def test_hessian_matches_autodiff(random_grid):
+    p = jax.random.uniform(jax.random.PRNGKey(2), (16, 3), minval=0.2, maxval=0.8)
+    _, _, h = gridops.grid_eval_all(random_grid, p)
+    h_ad = jax.vmap(jax.hessian(lambda q: gridops.grid_eval(random_grid, q)))(p)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ad), rtol=2e-3, atol=2e-3)
+
+
+def test_grid_data_gradient_finite_difference(random_grid):
+    """Backward into the voxel grid (the SDF gradient hot path)."""
+    p = jax.random.uniform(jax.random.PRNGKey(3), (32, 3), minval=0.15, maxval=0.85)
+
+    def loss(data):
+        return jnp.sum(jnp.sin(3.0 * gridops.grid_eval(data, p)))
+
+    g = jax.grad(loss)(random_grid)
+    direction = jax.random.normal(jax.random.PRNGKey(4), random_grid.shape)
+    eps = 1e-3
+    fd = (loss(random_grid + eps * direction) - loss(random_grid - eps * direction)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g, direction)), float(fd), rtol=2e-3)
+
+
+def test_batch_shapes(random_grid):
+    p = jax.random.uniform(jax.random.PRNGKey(5), (4, 5, 3), minval=0.2, maxval=0.8)
+    v = gridops.grid_eval(random_grid, p)
+    assert v.shape == (4, 5)
+    v2, g, h = gridops.grid_eval_all(random_grid, p)
+    assert v2.shape == (4, 5) and g.shape == (4, 5, 3) and h.shape == (4, 5, 3, 3)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v2), atol=1e-6)
+
+
+def test_trilinear_matches_data_at_centers(random_grid):
+    pts = voxel_centers(random_grid.shape).reshape(-1, 3)
+    v = gridops.grid_eval_trilinear(random_grid, pts)
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(random_grid).ravel(), atol=1e-6
+    )
