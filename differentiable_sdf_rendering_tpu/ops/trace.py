@@ -1,0 +1,353 @@
+"""Sphere tracing against SDFs, with in-loop warp-field accumulators.
+
+TPU-native re-design of the reference's differential sphere tracer
+(``/root/reference/python/shapes.py:115-339``): the Dr.Jit recorded wavefront
+loop becomes a ``jax.lax.while_loop`` over a batch of rays with per-lane
+``active`` masks; all state is a flat dict of (N,)/(N,3) arrays so the loop
+jits into one fused XLA computation (or a Pallas kernel, see
+``ops/pallas_trace``).
+
+Two entry points:
+
+* ``sphere_trace``     — plain intersection (primal rendering fast path;
+  reference ``ray_intersect_non_diff``, shapes.py:290-339).
+* ``sphere_trace_warp`` — intersection + the paper's weighted warp-field
+  accumulators computed *during* the trace (reference ``ray_intersect``,
+  shapes.py:115-288): the weighted mean depth ``warp_t = Σ w·t·Δ / Σ w·Δ``
+  (trapezoid rule over trace segments), its hand-derived derivative
+  ``warp_t_d = ∂warp_t/∂(ray direction)``, and the clamped weight-sum warp
+  multiplier.  Everything here is *detached*: gradients are attached later by
+  the warp field (``ops/warp.py``) evaluated at ``x = ray(warp_t)``, exactly
+  mirroring the reference's detached-trace/attached-warp split
+  (warp.py:104-115).
+
+The per-step silhouette weight is ``w = 1/(ε + |f| + c·(n·d)²/|n|²)^p`` with
+bounding-box down-weighting, and an analytic spatial weight gradient that
+uses the SDF Hessian (reference ``eval_trace_weight``, shapes.py:68-113).
+Derivatives w.r.t. the ray direction are converted from spatial gradients via
+``∇_d g = t·∇_x g + (d·∇_x g)·t_d`` (shapes.py:126-127).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .sdf import TraceParams
+from .vecmath import dot, normalize, ray_bbox_intersect, bbox_distance_inside_d
+
+__all__ = ["TraceResult", "sphere_trace", "sphere_trace_warp"]
+
+_INF = jnp.inf
+
+
+@struct.dataclass
+class TraceResult:
+    """Output of a (warp-)sphere-trace; all leaves detached, shape (N,) / (N,3)."""
+
+    its_t: jnp.ndarray          # intersection distance, inf if none
+    warp_t: jnp.ndarray         # weighted mean free-flight distance, inf if invalid
+    warp_t_d: jnp.ndarray       # ∂warp_t/∂d (3,)
+    warp_weight: jnp.ndarray    # clamped weight-sum warp multiplier in [0,1]
+    warp_weight_d: jnp.ndarray  # ∂warp_weight/∂d (3,)
+    num_steps: jnp.ndarray      # trace iterations used (int32)
+    weight_sum: jnp.ndarray     # raw accumulated weight (debug AOV)
+
+    @property
+    def valid(self):
+        return jnp.isfinite(self.its_t)
+
+
+def _ray_setup(sdf, o, d, params: TraceParams, maxt):
+    """Shared entry logic: normalize, clip to the (expanded) SDF bbox.
+
+    Mirrors shapes.py:129-141 — rays starting inside the box begin at t=0,
+    outside rays at the box entry + 1e-5; the trace tolerance scales with
+    ray extent: ``trace_eps * max(maxt, 1)``.
+    """
+    d = normalize(d)
+    bmin, bmax = sdf.bbox(params.bbox_expand)
+    hit, mint, tmax = ray_bbox_intersect(o, d, bmin, bmax)
+    inside = jnp.all((o >= bmin) & (o <= bmax), axis=-1)
+    hit = hit & ((mint > 0) | inside)
+    maxt = jnp.minimum(tmax, maxt)
+    trace_eps = params.trace_eps * jnp.maximum(maxt, 1.0)
+    # Non-hitting lanes never trace; pin them to t=0 so their (unused)
+    # position evaluations stay finite.
+    t0 = jnp.where(hit, jnp.where(inside, 0.0, mint + 1e-5), 0.0)
+    return d, (bmin, bmax), hit, inside, t0, maxt, trace_eps
+
+
+def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, active=True):
+    """Non-differential sphere trace → intersection distance (N,), inf = miss.
+
+    Reference ``ray_intersect_non_diff`` (shapes.py:290-339) including the
+    10-step decreasing-rate refinement loop.
+    """
+    sdf = jax.lax.stop_gradient(sdf)
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    maxt = jnp.broadcast_to(jnp.asarray(maxt, o.dtype), o.shape[:-1])
+    d, _, hit, _, t0, maxt, trace_eps = _ray_setup(sdf, o, d, params, maxt)
+    active0 = jnp.broadcast_to(jnp.asarray(active, bool), t0.shape) & hit
+
+    scale = params.step_scale
+
+    def cond(s):
+        return jnp.any(s["active"])
+
+    def body(s):
+        act, t, its_t, i = s["active"], s["t"], s["its_t"], s["i"]
+        x = o + t[..., None] * d
+        f = sdf.eval(x) * scale
+        intersected = f < trace_eps
+        its_t = jnp.where(act & intersected, t, its_t)
+        step = jnp.where(intersected, 0.0, jnp.abs(f))
+        t_new = jnp.where(act, t + step, t)
+        act = act & (t_new <= maxt) & ~intersected & (i + 1 < params.max_steps)
+        return {"active": act, "t": t_new, "its_t": its_t, "i": i + 1}
+
+    state = {
+        "active": active0,
+        "t": t0,
+        "its_t": jnp.full_like(t0, _INF),
+        "i": jnp.zeros_like(t0, jnp.int32),
+    }
+    its_t = jax.lax.while_loop(cond, body, state)["its_t"]
+
+    if params.refine_intersection:
+        its_t = _refine(sdf, o, d, its_t, trace_eps, params)
+    return its_t
+
+
+def _refine(sdf, o, d, its_t, trace_eps, params: TraceParams):
+    """Intersection refinement at decreasing rate 10/(10+i) (shapes.py:244-257)."""
+
+    def body(i, carry):
+        its_t, refining = carry
+        f = sdf.eval(o + its_t[..., None] * d) * params.step_scale
+        its_t = jnp.where(refining, its_t + f * (10.0 / (10.0 + i)), its_t)
+        refining = refining & ((f <= 0) | (f > trace_eps))
+        return its_t, refining
+
+    refining = jnp.isfinite(its_t)
+    its_t, _ = jax.lax.fori_loop(0, params.refine_steps, body, (its_t, refining))
+    return its_t
+
+
+def _trace_weight(d, i, bbox, x, f, g, h, params: TraceParams):
+    """Per-step silhouette weight + its spatial gradient (shapes.py:68-113).
+
+    ``w = bbox_w / (ε_sil + |f| + c·(n·d)²/|n|²)^p`` with the analytic
+    gradient using the Hessian ``h``; the bbox factor ramps the weight to
+    zero within 0.01 of the (expanded) bounding box for steps i>0.
+    """
+    bmin, bmax = bbox
+    n_dot_d = dot(g, d)
+    n_dot_n = jnp.maximum(dot(g, g), 1e-20)
+    dot_ratio = n_dot_d / n_dot_n
+    denom = params.sil_weight_epsilon + jnp.abs(f) + params.sil_weight_offset * n_dot_d * dot_ratio
+    dist_weight = denom ** (-params.weight_power)
+
+    bbox_dist, bbox_dist_d = bbox_distance_inside_d(x, bmin, bmax)
+    bbox_eps = 0.01
+    first = i == 0
+    bbox_weight = jnp.where(first, 1.0, jnp.minimum(bbox_dist, bbox_eps) / bbox_eps)
+    weight = dist_weight * bbox_weight
+
+    bbox_weight_d = jnp.where(
+        (~first & (bbox_dist < bbox_eps))[..., None], bbox_dist_d / bbox_eps, 0.0
+    )
+    # ∇(n·d)²/|n|² = 2·r·(d − r·n) with r = (n·d)/|n|², then chain through H
+    gradient = 2.0 * dot_ratio[..., None] * (d - dot_ratio[..., None] * g)
+    denom_d = jnp.sign(f)[..., None] * g + params.sil_weight_offset * jnp.einsum(
+        "...i,...ij->...j", gradient, h
+    )
+    dist_weight_d = (-params.weight_power * dist_weight / denom)[..., None] * denom_d
+    weight_d = dist_weight[..., None] * bbox_weight_d + bbox_weight[..., None] * dist_weight_d
+    return weight, weight_d
+
+
+def sphere_trace_warp(
+    sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, active=True
+) -> TraceResult:
+    """Differential sphere trace with warp-field accumulators (shapes.py:115-288).
+
+    Returns a fully detached :class:`TraceResult`; NaN-free for inactive and
+    missed lanes (``warp_t = inf``, derivative terms zero, as the reference's
+    ``invalid`` handling at shapes.py:277-283).
+    """
+    sdf = jax.lax.stop_gradient(sdf)
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    maxt = jnp.broadcast_to(jnp.asarray(maxt, o.dtype), o.shape[:-1])
+    d, bbox, hit, inside, t0, maxt, trace_eps = _ray_setup(sdf, o, d, params, maxt)
+    bmin, bmax = bbox
+    active0 = jnp.broadcast_to(jnp.asarray(active, bool), t0.shape) & hit
+
+    # Initial dt/dd: entry point slides along the nearest bbox face as d
+    # rotates (shapes.py:155-164); zero for rays starting inside.
+    x0 = o + t0[..., None] * d
+    min_dist = jnp.minimum(jnp.abs(bmin - x0), jnp.abs(bmax - x0))
+    mx, my, mz = min_dist[..., 0], min_dist[..., 1], min_dist[..., 2]
+    ex = (mx < my) & (mx < mz)
+    ey = (my < mz) & (my < mx)
+    ez = (mz < mx) & (mz < my)
+    n_face = jnp.stack([ex.astype(d.dtype), ey.astype(d.dtype), ez.astype(d.dtype)], -1)
+    d_dot_n = dot(d, n_face)
+    safe_dn = jnp.where(jnp.abs(d_dot_n) > 1e-12, d_dot_n, 1.0)
+    t_d0 = jnp.where(
+        (~inside & (jnp.abs(d_dot_n) > 0))[..., None],
+        -n_face / safe_dn[..., None] * t0[..., None],
+        0.0,
+    )
+
+    scale = params.step_scale
+    use_extra = params.use_extra_weight
+    zero3 = jnp.zeros_like(d)
+
+    def convert_deriv(in_d, t, t_d):
+        # spatial gradient → gradient w.r.t. ray direction (shapes.py:126-127)
+        return t[..., None] * in_d + dot(d, in_d)[..., None] * t_d
+
+    def cond(s):
+        return jnp.any(s["active"])
+
+    def body(s):
+        act = s["active"]
+        act3 = act[..., None]
+        t = s["t"]
+        x = o + t[..., None] * d
+        f, g, h = sdf.eval_all(x)
+        f, g, h = f * scale, g * scale, h * scale
+
+        intersected = f < trace_eps
+        its_t = jnp.where(act & intersected, t, s["its_t"])
+        surf_dist = jnp.abs(f)
+        weight, weight_d = _trace_weight(d, s["i"], bbox, x, f, g, h, params)
+
+        prev_surf_dist = s["prev_surf_dist"]
+        if use_extra:
+            # "approach" weight: ramps in as a new surface is approached
+            # (shapes.py:195-228)
+            inv_ew_den = 1.0 / jnp.maximum(jnp.minimum(params.extra_thresh, surf_dist), 1e-12)
+            dist_difference = prev_surf_dist - surf_dist
+            ew_sum = s["extra_weight_sum"] + jnp.where(
+                dist_difference >= 0, dist_difference * inv_ew_den, 0.0
+            )
+            ew_sum = jnp.minimum(ew_sum, 1.0)
+        else:
+            ew_sum = jnp.ones_like(t)
+
+        curr_segment_value = jnp.where(intersected, 0.0, surf_dist)
+        segment_length = 0.5 * (curr_segment_value + prev_surf_dist)
+        weight_increment = segment_length * weight
+        if use_extra:
+            weight_increment = weight_increment * ew_sum
+        weight_sum = s["weight_sum"] + jnp.where(act, weight_increment, 0.0)
+        warp_t = s["warp_t"] + jnp.where(act, weight_increment * t, 0.0)
+
+        t_d = s["t_d"]
+        weight_d = convert_deriv(weight_d, t, t_d)
+        sdf_grad_c = convert_deriv(g, t, t_d)
+        segment_d = 0.5 * (sdf_grad_c + s["prev_sdf_grad_c"])
+
+        if use_extra:
+            surf_dist_d = jnp.sign(f)[..., None] * sdf_grad_c
+            extra_w_d = (s["prev_sdf_grad_c"] - surf_dist_d) * inv_ew_den[..., None]
+            extra_w_d = extra_w_d - (dist_difference * inv_ew_den * inv_ew_den)[
+                ..., None
+            ] * jnp.where((f < params.extra_thresh)[..., None], surf_dist_d, 0.0)
+            ew_sum_d = s["extra_weight_sum_d"] + jnp.where(
+                (dist_difference > 0.0)[..., None], extra_w_d, 0.0
+            )
+            ew_sum_d = jnp.where(((ew_sum >= 1.0) | (ew_sum <= 0.0))[..., None], 0.0, ew_sum_d)
+            weight_d = weight[..., None] * ew_sum_d + weight_d * ew_sum[..., None]
+            weight = weight * ew_sum
+        else:
+            ew_sum_d = zero3
+
+        weight_increment_d = weight[..., None] * segment_d + weight_d * segment_length[..., None]
+        mixed_sum_d = s["mixed_sum_d"] + jnp.where(
+            act3,
+            weight_increment_d * t[..., None] + (weight * segment_length)[..., None] * t_d,
+            0.0,
+        )
+        t_d_new = jnp.where(act3, t_d + sdf_grad_c, t_d)
+        weight_d_sum = s["weight_d_sum"] + jnp.where(act3, weight_increment_d, 0.0)
+        t_new = jnp.where(act, t + curr_segment_value, t)
+        i_new = s["i"] + act.astype(jnp.int32)
+        act_new = act & (t_new <= maxt) & ~intersected & (i_new < params.max_steps)
+
+        return {
+            "active": act_new,
+            "t": t_new,
+            "its_t": its_t,
+            "prev_surf_dist": jnp.where(act, surf_dist, prev_surf_dist),
+            "prev_sdf_grad_c": jnp.where(act3, sdf_grad_c, s["prev_sdf_grad_c"]),
+            "t_d": t_d_new,
+            "weight_sum": weight_sum,
+            "weight_d_sum": weight_d_sum,
+            "mixed_sum_d": mixed_sum_d,
+            "warp_t": warp_t,
+            "i": i_new,
+            "extra_weight_sum": jnp.where(act, ew_sum, s["extra_weight_sum"]),
+            "extra_weight_sum_d": jnp.where(act3, ew_sum_d, s["extra_weight_sum_d"]),
+        }
+
+    state = {
+        "active": active0,
+        "t": t0,
+        "its_t": jnp.full_like(t0, _INF),
+        "prev_surf_dist": jnp.zeros_like(t0),
+        "prev_sdf_grad_c": zero3,
+        "t_d": t_d0,
+        "weight_sum": jnp.zeros_like(t0),
+        "weight_d_sum": zero3,
+        "mixed_sum_d": zero3,
+        "warp_t": jnp.zeros_like(t0),
+        "i": jnp.zeros_like(t0, jnp.int32),
+        "extra_weight_sum": jnp.zeros_like(t0),
+        "extra_weight_sum_d": zero3,
+    }
+    s = jax.lax.while_loop(cond, body, state)
+
+    its_t = s["its_t"]
+    if params.refine_intersection:
+        its_t = _refine(sdf, o, d, its_t, trace_eps, params)
+
+    # Normalize the trapezoid accumulators (shapes.py:259-261)
+    weight_sum = s["weight_sum"]
+    inv_ws = 1.0 / jnp.maximum(weight_sum, 1e-20)
+    warp_t = s["warp_t"] * inv_ws
+    warp_t_d = (-warp_t[..., None] * s["weight_d_sum"] + s["mixed_sum_d"]) * inv_ws[..., None]
+
+    if params.use_weight_sum_weight:
+        warp_weight = jnp.clip(weight_sum, 0.0, 1.0)
+        warp_weight_d = jnp.where(
+            ((weight_sum > 0.0) & (weight_sum < 1.0))[..., None], s["weight_d_sum"], 0.0
+        )
+    else:
+        warp_weight = jnp.ones_like(weight_sum)
+        warp_weight_d = zero3
+
+    # Disable the warp field below a weight threshold / outside the bbox
+    # (shapes.py:277-283)
+    invalid = (weight_sum < 1e-7) | ~hit
+    warp_t = jnp.where(invalid, _INF, warp_t)
+    warp_t_d = jnp.where(invalid[..., None], 0.0, warp_t_d)
+    warp_weight = jnp.where(invalid, 0.0, warp_weight)
+    warp_weight_d = jnp.where(invalid[..., None], 0.0, warp_weight_d)
+
+    return TraceResult(
+        its_t=its_t,
+        warp_t=warp_t,
+        warp_t_d=warp_t_d,
+        warp_weight=warp_weight,
+        warp_weight_d=warp_weight_d,
+        num_steps=s["i"],
+        weight_sum=weight_sum,
+    )

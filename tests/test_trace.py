@@ -1,0 +1,162 @@
+"""Sphere tracer: hit distances vs analytic sphere; FD checks of the
+hand-derived warp accumulators (the reference validates these only via
+figures — we test them directly, per SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from differentiable_sdf_rendering_tpu.ops.sdf import GridSDF, SphereSDF, TraceParams
+from differentiable_sdf_rendering_tpu.ops.initializers import create_sphere_sdf
+from differentiable_sdf_rendering_tpu.ops.trace import sphere_trace, sphere_trace_warp
+from differentiable_sdf_rendering_tpu.ops.vecmath import normalize
+
+
+CENTER = jnp.asarray([0.5, 0.5, 0.5])
+RADIUS = 0.3
+
+
+def _analytic_sphere_t(o, d):
+    """Smallest positive ray-sphere intersection distance (inf if none)."""
+    oc = o - CENTER
+    b = np.sum(oc * d, -1)
+    c = np.sum(oc * oc, -1) - RADIUS**2
+    disc = b * b - c
+    t = -b - np.sqrt(np.maximum(disc, 0.0))
+    return np.where((disc > 0) & (t > 0), t, np.inf)
+
+
+def _camera_rays(n, key=0, spread=0.35):
+    """Rays from a point toward the sphere with some angular spread."""
+    o = jnp.broadcast_to(jnp.asarray([0.5, 0.5, -1.5]), (n, 3))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    target = jnp.stack(
+        [
+            0.5 + spread * (jax.random.uniform(k1, (n,)) * 2 - 1),
+            0.5 + spread * (jax.random.uniform(k2, (n,)) * 2 - 1),
+            jnp.full((n,), 0.5),
+        ],
+        -1,
+    )
+    d = normalize(target - o)
+    return o, d
+
+
+def test_trace_analytic_sphere():
+    sdf = SphereSDF.create(CENTER, RADIUS)
+    o, d = _camera_rays(512)
+    its_t = sphere_trace(sdf, o, d)
+    expected = _analytic_sphere_t(np.asarray(o), np.asarray(d))
+    hit = np.isfinite(expected)
+    assert np.mean(np.isfinite(np.asarray(its_t)) == hit) > 0.99
+    both = hit & np.isfinite(np.asarray(its_t))
+    np.testing.assert_allclose(np.asarray(its_t)[both], expected[both], atol=5e-4)
+
+
+def test_trace_grid_sphere():
+    sdf = GridSDF.create(create_sphere_sdf(64, radius=RADIUS))
+    o, d = _camera_rays(256)
+    its_t = np.asarray(sphere_trace(sdf, o, d))
+    expected = _analytic_sphere_t(np.asarray(o), np.asarray(d))
+    # hit/miss masks agree except within a voxel of the silhouette
+    agree = np.isfinite(expected) == np.isfinite(its_t)
+    assert agree.mean() > 0.95
+    both = np.isfinite(expected) & np.isfinite(its_t)
+    assert both.mean() > 0.4
+    np.testing.assert_allclose(its_t[both], expected[both], atol=2.5 / 64)
+
+
+def test_warp_trace_consistent_its_t():
+    sdf = SphereSDF.create(CENTER, RADIUS)
+    o, d = _camera_rays(256)
+    res = sphere_trace_warp(sdf, o, d)
+    plain = sphere_trace(sdf, o, d)
+    np.testing.assert_allclose(
+        np.nan_to_num(np.asarray(res.its_t), posinf=1e9),
+        np.nan_to_num(np.asarray(plain), posinf=1e9),
+        atol=1e-4,
+    )
+
+
+def test_warp_t_reasonable():
+    """For rays that pass near the surface, warp_t sits near the sphere."""
+    sdf = SphereSDF.create(CENTER, RADIUS)
+    o, d = _camera_rays(512)
+    res = sphere_trace_warp(sdf, o, d)
+    wt = np.asarray(res.warp_t)
+    valid = np.isfinite(wt)
+    assert valid.mean() > 0.5
+    # warp_t should be around the sphere's depth range [1.2, 2.3]
+    assert np.all(wt[valid] > 0.8) and np.all(wt[valid] < 2.6)
+
+
+def _impact_sweep_rays(n):
+    """Rays in the thin impact-parameter band where weight_sum transitions
+    through (0, 1) — the bbox-weight ramp near the box edge (b ≈ 0.6)."""
+    o = jnp.broadcast_to(jnp.asarray([0.5, 0.5, -1.5]), (n, 3))
+    b = jnp.linspace(0.590, 0.604, n)
+    target = jnp.stack([0.5 + b, jnp.full((n,), 0.5), jnp.full((n,), 0.5)], -1)
+    return o, normalize(target - o)
+
+
+def _fd_check(quantity_idx, rtol, n=160, eps=2e-4, min_lanes=None, sweep=False):
+    """FD-validate ∂(warp accumulator)/∂(ray direction) along random ⊥ dirs."""
+    sdf = SphereSDF.create(CENTER, RADIUS)
+    o, d = _impact_sweep_rays(n) if sweep else _camera_rays(n, key=3)
+    params = TraceParams()
+
+    def run(d):
+        r = sphere_trace_warp(sdf, o, d, params)
+        return (r.warp_t, r.warp_weight)[quantity_idx], (
+            r.warp_t_d,
+            r.warp_weight_d,
+        )[quantity_idx]
+
+    val, grad = run(d)
+    # random perpendicular perturbation directions
+    up = jnp.asarray([0.3, 0.9, 0.1])
+    perp = normalize(jnp.cross(jnp.broadcast_to(up, d.shape), d))
+    vp, _ = run(normalize(d + eps * perp))
+    vm, _ = run(normalize(d - eps * perp))
+    fd = (np.asarray(vp) - np.asarray(vm)) / (2 * eps)
+    an = np.sum(np.asarray(grad) * np.asarray(perp), -1)
+
+    # Only compare lanes where the quantity is finite at all three evals and
+    # the derivative is meaningfully non-zero.
+    ok = np.isfinite(fd) & np.isfinite(an)
+    mag = np.abs(fd) + np.abs(an)
+    sel = ok & (mag > 1e-2)
+    min_lanes = n // 8 if min_lanes is None else min_lanes
+    assert sel.sum() >= min_lanes, f"too few usable lanes: {sel.sum()}"
+    rel_err = np.abs(fd[sel] - an[sel]) / np.maximum(np.abs(fd[sel]), 1e-2)
+    # The trace is piecewise-smooth in d (step counts change), so compare in
+    # the median; a small fraction of lanes may straddle a kink.
+    assert np.median(rel_err) < rtol, (np.median(rel_err), np.percentile(rel_err, 90))
+
+
+def test_warp_t_d_matches_fd():
+    _fd_check(0, rtol=0.06)
+
+
+def test_warp_weight_d_matches_fd():
+    _fd_check(1, rtol=0.08, n=512, min_lanes=8, sweep=True, eps=2e-5)
+
+
+def test_no_nans_on_misses():
+    sdf = SphereSDF.create(CENTER, RADIUS)
+    # rays that miss the bbox entirely, plus degenerate directions
+    o = jnp.asarray([[0.5, 0.5, -1.5], [5.0, 5.0, 5.0], [0.5, 0.5, -1.5]])
+    d = normalize(jnp.asarray([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1e-8, 1e-8, 1.0]]))
+    res = sphere_trace_warp(sdf, o, d)
+    for leaf in [res.warp_t_d, res.warp_weight, res.warp_weight_d, res.weight_sum]:
+        assert not np.any(np.isnan(np.asarray(leaf)))
+
+
+def test_inside_ray():
+    """Rays starting inside the bbox trace from t=0 (shapes.py:141)."""
+    sdf = SphereSDF.create(CENTER, RADIUS)
+    o = jnp.asarray([[0.5, 0.5, 0.05]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    its_t = np.asarray(sphere_trace(sdf, o, d))
+    np.testing.assert_allclose(its_t, [0.45 - RADIUS], atol=1e-4)
