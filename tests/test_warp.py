@@ -1,0 +1,148 @@
+"""Warp field: analytic Jacobian vs autodiff; divergence vs FD of the true
+warped-direction map; gradient flow to SDF parameters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from differentiable_sdf_rendering_tpu.ops.sdf import GridSDF, SphereSDF, TraceParams
+from differentiable_sdf_rendering_tpu.ops.initializers import create_sphere_sdf
+from differentiable_sdf_rendering_tpu.ops.trace import sphere_trace_warp
+from differentiable_sdf_rendering_tpu.ops.warp import (
+    WarpConfig,
+    reparameterize,
+    warp_eval,
+    warp_vector_and_jac,
+)
+from differentiable_sdf_rendering_tpu.ops.vecmath import normalize, dot
+
+CENTER = (0.5, 0.5, 0.5)
+RADIUS = 0.3
+
+
+def test_warp_vector_jacobian_matches_autodiff():
+    sdf = SphereSDF.create(CENTER, RADIUS)
+    cfg = WarpConfig()
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (32, 3), minval=0.15, maxval=0.85)
+
+    _, jac, _, _ = warp_vector_and_jac(sdf, pts, cfg)
+
+    def v_fn(x):
+        f, g, _ = sdf.eval_all(x)
+        return -g / jnp.sum(g * g) * f
+
+    jac_ad = jax.vmap(jax.jacfwd(v_fn))(pts)
+    np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ad), rtol=2e-3, atol=2e-4)
+
+
+def test_warp_vector_jacobian_grid_sdf():
+    sdf = GridSDF.create(create_sphere_sdf(32, radius=RADIUS))
+    cfg = WarpConfig()
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=0.2, maxval=0.8)
+    _, jac, _, _ = warp_vector_and_jac(sdf, pts, cfg)
+
+    def v_fn(x):
+        f, g, _ = sdf.eval_all(x)
+        return -g / jnp.sum(g * g) * f
+
+    jac_ad = jax.vmap(jax.jacfwd(v_fn))(pts)
+    np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ad), rtol=5e-3, atol=5e-3)
+
+
+def _velocity_and_div_grad(o, u, cfg, tp):
+    """At the current geometry θ₀ (sphere center p), compute, per ray
+    direction ``u``:
+      * the warp *velocity* field  W_k(u) = ∂T(u, p)/∂p_k   (n, 3, 3)
+      * the divergence gradient    ∂div/∂p_k                (n, 3)
+    T is identity at θ₀ (the V primal is zeroed, warp.py:81), so the
+    determinant's parameter-derivative must equal the surface divergence of
+    the velocity field — the property the analytic div formula encodes.
+    """
+    p0 = jnp.asarray(CENTER)
+
+    # trace at θ0 (detached quantities — part of the fixed sampling measure)
+    res = sphere_trace_warp(SphereSDF.create(CENTER, RADIUS), o, u, tp)
+    x = o + jnp.where(jnp.isfinite(res.warp_t), res.warp_t, 1.0)[..., None] * u
+
+    def f(p):
+        sdf = SphereSDF.create(p, RADIUS)
+        warp, div = warp_eval(
+            sdf, x, u, res.warp_t, res.warp_t_d, cfg,
+            warp_weight_mult=res.warp_weight, warp_weight_mult_d=res.warp_weight_d,
+        )
+        return warp, div
+
+    dwarp_dp, ddiv_dp = jax.jacfwd(f)(p0)  # (n,3,3), (n,3)
+    usable = jnp.isfinite(res.warp_t) & ~jnp.isfinite(res.its_t)
+    return dwarp_dp, ddiv_dp, usable
+
+
+def test_divergence_matches_velocity_field_divergence():
+    """∂div/∂p == div_u(∂T/∂p): FD over ray direction of the (AD) warp
+    velocity vs the AD gradient of the analytic divergence."""
+    cfg = WarpConfig()
+    tp = TraceParams()
+    n = 128
+    o = jnp.broadcast_to(jnp.asarray([0.5, 0.5, -1.5]), (n, 3))
+    ang = jnp.linspace(0, 2 * jnp.pi, n, endpoint=False)
+    b = 0.31 + 0.04 * jnp.cos(ang * 3.0)  # just outside the silhouette
+    target = jnp.stack([0.5 + b * jnp.cos(ang), 0.5 + b * jnp.sin(ang), jnp.full((n,), 0.5)], -1)
+    u = normalize(target - o)
+
+    _, ddiv_dp, usable = _velocity_and_div_grad(o, u, cfg, tp)
+
+    up = jnp.asarray([0.3, 0.9, 0.1])
+    e1 = normalize(jnp.cross(jnp.broadcast_to(up, u.shape), u))
+    e2 = normalize(jnp.cross(u, e1))
+    eps = 1e-4
+    fd_div = np.zeros((n, 3))
+    ok = np.asarray(usable).copy()
+    for e in (e1, e2):
+        Wp, _, okp = _velocity_and_div_grad(o, normalize(u + eps * e), cfg, tp)
+        Wm, _, okm = _velocity_and_div_grad(o, normalize(u - eps * e), cfg, tp)
+        # divergence contribution: e · ∂(W_k)/∂e  for each parameter k
+        fd_div += np.einsum(
+            "ni,nik->nk", np.asarray(e), np.asarray(Wp) - np.asarray(Wm)
+        ) / (2 * eps)
+        ok &= np.asarray(okp) & np.asarray(okm)
+
+    an = np.asarray(ddiv_dp)
+    mag = np.abs(fd_div) + np.abs(an)
+    sel = ok[:, None] & (mag > 0.5) & np.isfinite(fd_div)
+    assert sel.sum() > 30, sel.sum()
+    rel = np.abs(fd_div[sel] - an[sel]) / np.maximum(np.abs(fd_div[sel]), 0.5)
+    assert np.median(rel) < 0.08, (np.median(rel), np.percentile(rel, 90))
+
+
+def test_gradient_flows_to_sdf_translation():
+    """d(warped direction)/d(sdf.p) is finite and non-zero for silhouette rays."""
+    data = create_sphere_sdf(32, radius=RADIUS)
+    n = 64
+    o = jnp.broadcast_to(jnp.asarray([0.5, 0.5, -1.5]), (n, 3))
+    ang = jnp.linspace(0, 2 * jnp.pi, n, endpoint=False)
+    target = jnp.stack(
+        [0.5 + 0.31 * jnp.cos(ang), 0.5 + 0.31 * jnp.sin(ang), jnp.full((n,), 0.5)], -1
+    )
+    d = normalize(target - o)
+
+    def loss(p):
+        sdf = GridSDF.create(data, p=p)
+        _, d_rep, div = reparameterize(sdf, o, d)
+        return jnp.sum(d_rep * jnp.asarray([0.3, 0.5, 0.2])) + jnp.sum(div)
+
+    g = jax.grad(loss)(jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.linalg.norm(np.asarray(g)) > 1e-3
+
+
+def test_reparam_primal_values_unchanged():
+    """replace_grad semantics: primal d and det are untouched."""
+    sdf = SphereSDF.create(CENTER, RADIUS)
+    n = 32
+    o = jnp.broadcast_to(jnp.asarray([0.5, 0.5, -1.5]), (n, 3))
+    d = normalize(
+        jnp.stack([jnp.linspace(-0.3, 0.3, n), jnp.zeros(n), jnp.ones(n)], -1)
+    )
+    _, d_rep, div = reparameterize(sdf, o, d)
+    np.testing.assert_allclose(np.asarray(d_rep), np.asarray(d), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(div), 1.0, atol=1e-7)
