@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Mirrors the reference's Figure-9a protocol
+(``/root/reference/figures/benchmark/benchmark.py:23-118``): 256×256 pixels,
+256 primal spp + 64 adjoint spp against a 128³ SDF, mean of N runs, device
+timing via ``block_until_ready``.  Headline metric: rays/s/chip through the
+forward+backward sphere trace (primal render + VJP of the reparameterized
+gradient render), plus redistancing throughput (Fig. 9b).
+
+Runs on whatever the default JAX platform is (the real TPU chip under the
+driver; set JAX_PLATFORMS=cpu and BENCH_SMALL=1 for a local smoke run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    import jax
+    import jax.numpy as jnp
+
+    from differentiable_sdf_rendering_tpu.models.camera import regular_cameras
+    from differentiable_sdf_rendering_tpu.models.integrator import (
+        RenderConfig, render_chunked,
+    )
+    from differentiable_sdf_rendering_tpu.models.scene import Scene
+    from differentiable_sdf_rendering_tpu.models.scenes_zoo import target_sdf
+    from differentiable_sdf_rendering_tpu.ops.redistance import redistance
+
+    res = 64 if small else 256               # film res (Fig 9a: 256)
+    primal_spp = 16 if small else 256        # Fig 9a: 256
+    adjoint_spp = 8 if small else 64         # Fig 9a: 64
+    grid_res = 32 if small else 128          # bunny_128 analog
+    n_runs = 2 if small else 5               # mean of 5
+    n_chunks = 1 if small else 16
+
+    sdf_data = target_sdf("bunny", grid_res)
+    cams = regular_cameras(1, resx=res, resy=res)
+    scene = Scene.create(sdf_data, cameras=cams)
+    cfg_p = RenderConfig(integrator="sdf_direct_reparam", spp=primal_spp)
+    cfg_g = RenderConfig(integrator="sdf_direct_reparam", spp=adjoint_spp)
+
+    @jax.jit
+    def primal(scene):
+        return render_chunked(scene, 0, seed=0, cfg=cfg_p, mode="primal", n_chunks=n_chunks)
+
+    @jax.jit
+    def adjoint(scene, dimg):
+        def rf(data):
+            return render_chunked(
+                scene.replace(sdf=scene.sdf.replace(data=data)),
+                0, seed=1, cfg=cfg_g, mode="grad",
+                n_chunks=max(1, n_chunks // 4),
+            )[..., :3]
+
+        _, vjp = jax.vjp(rf, scene.sdf.data)
+        (g,) = vjp(dimg)
+        return g
+
+    dimg = jnp.ones((res, res, 3), jnp.float32)
+
+    # warmup/compile
+    img = primal(scene)
+    img.block_until_ready()
+    g = adjoint(scene, dimg)
+    g.block_until_ready()
+
+    t_primal, t_adj = [], []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        primal(scene).block_until_ready()
+        t_primal.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        adjoint(scene, dimg).block_until_ready()
+        t_adj.append(time.perf_counter() - t0)
+
+    b = 2  # film border
+    primal_rays = (res + 2 * b) ** 2 * primal_spp
+    adjoint_rays = (res + 2 * b) ** 2 * adjoint_spp
+    tp = float(np.mean(t_primal))
+    ta = float(np.mean(t_adj))
+    rays_per_s = (primal_rays + adjoint_rays) / (tp + ta)
+
+    # Fig 9b: redistancing throughput at the optimization resolution
+    rphi = jax.jit(lambda x: redistance(x))
+    x = sdf_data * 3.0
+    rphi(x).block_until_ready()
+    t0 = time.perf_counter()
+    rphi(x).block_until_ready()
+    t_redist = time.perf_counter() - t0
+
+    result = {
+        "metric": "rays/s/chip fwd+bwd sphere trace (Fig9a protocol)",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": 1.0,
+        "detail": {
+            "film": res,
+            "grid": grid_res,
+            "primal_spp": primal_spp,
+            "adjoint_spp": adjoint_spp,
+            "t_primal_s": round(tp, 4),
+            "t_adjoint_s": round(ta, 4),
+            "t_redistance_s": round(t_redist, 4),
+            "platform": jax.devices()[0].platform,
+            "n_runs": n_runs,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,182 @@
+"""Emitters: constant/vMF environment lights and an equirect grid envmap.
+
+Minimal JAX emitter library standing in for the Mitsuba emitters the
+reference scenes use (envmaps ``cathedral``/``vmf``, constant/area —
+SURVEY.md §2.2/2.3).  Each emitter provides:
+
+  * ``eval(d)``              — radiance arriving from direction d (world)
+  * ``sample_direction(u2)`` — (d, pdf, radiance) importance sample
+  * ``pdf_direction(d)``     — density of that sampler
+
+Directions always point *away* from the shading point.  Since the scene's
+only occluder is the SDF, emitters are "at infinity".
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.sampling import square_to_uniform_sphere, square_to_vmf, vmf_pdf
+from ..ops.vecmath import normalize
+
+__all__ = ["ConstantEmitter", "VMFEmitter", "GridEnvmap", "make_gradient_envmap"]
+
+_INV_4PI = 1.0 / (4.0 * jnp.pi)
+
+
+@struct.dataclass
+class ConstantEmitter:
+    """Uniform environment radiance."""
+
+    radiance: jnp.ndarray  # (3,)
+
+    @classmethod
+    def create(cls, radiance=(1.0, 1.0, 1.0)):
+        return cls(radiance=jnp.asarray(radiance, jnp.float32))
+
+    def eval(self, d):
+        return jnp.broadcast_to(self.radiance, d.shape[:-1] + (3,))
+
+    def sample_direction(self, u2):
+        d = square_to_uniform_sphere(u2)
+        pdf = jnp.full(d.shape[:-1], _INV_4PI)
+        return d, pdf, self.eval(d)
+
+    def pdf_direction(self, d):
+        return jnp.full(d.shape[:-1], _INV_4PI)
+
+
+@struct.dataclass
+class VMFEmitter:
+    """vMF-lobe environment light (the reference's ``vmf.xml`` envmap rig)
+    plus an ambient floor so silhouettes stay visible from every view."""
+
+    mu: jnp.ndarray        # (3,) lobe direction
+    scale: jnp.ndarray     # (3,) lobe radiance scale
+    ambient: jnp.ndarray   # (3,)
+    kappa: float = struct.field(pytree_node=False, default=20.0)
+
+    @classmethod
+    def create(cls, mu=(0.5, 0.8, -0.3), scale=(6.0, 6.0, 6.0), ambient=(0.15, 0.15, 0.15), kappa=20.0):
+        return cls(
+            mu=normalize(jnp.asarray(mu, jnp.float32)),
+            scale=jnp.asarray(scale, jnp.float32),
+            ambient=jnp.asarray(ambient, jnp.float32),
+            kappa=float(kappa),
+        )
+
+    def eval(self, d):
+        lobe = vmf_pdf(jnp.sum(d * self.mu, -1), self.kappa)
+        return lobe[..., None] * self.scale + self.ambient
+
+    def _lobe_weight(self):
+        # fraction of sampling effort on the lobe vs ambient
+        return 0.7
+
+    def sample_direction(self, u2):
+        # Mix: 70% vMF lobe, 30% uniform sphere, via reusing u[0]
+        w = self._lobe_weight()
+        pick_lobe = u2[..., 0] < w
+        u0 = jnp.where(pick_lobe, u2[..., 0] / w, (u2[..., 0] - w) / (1.0 - w))
+        u = jnp.stack([u0, u2[..., 1]], -1)
+        local = square_to_vmf(u, self.kappa)
+        # rotate +z → mu
+        from ..ops.interaction import coordinate_frame
+
+        s, t = coordinate_frame(jnp.broadcast_to(self.mu, local.shape))
+        d_lobe = (
+            local[..., 0:1] * s + local[..., 1:2] * t + local[..., 2:3] * self.mu
+        )
+        d_uni = square_to_uniform_sphere(u)
+        d = jnp.where(pick_lobe[..., None], d_lobe, d_uni)
+        pdf = self.pdf_direction(d)
+        return d, pdf, self.eval(d)
+
+    def pdf_direction(self, d):
+        w = self._lobe_weight()
+        return w * vmf_pdf(jnp.sum(d * self.mu, -1), self.kappa) + (1.0 - w) * _INV_4PI
+
+
+@struct.dataclass
+class GridEnvmap:
+    """Equirectangular environment map with piecewise-constant importance
+    sampling (row CDF × per-row column CDF) — the role of Mitsuba's
+    ``envmap`` plugin with hierarchical warp."""
+
+    image: jnp.ndarray    # (H, W, 3)
+    row_cdf: jnp.ndarray  # (H,)
+    col_cdf: jnp.ndarray  # (H, W)
+
+    @classmethod
+    def create(cls, image):
+        image = jnp.asarray(image, jnp.float32)
+        h, w, _ = image.shape
+        lum = jnp.maximum(image.mean(-1), 1e-8)
+        # weight rows by sin(theta) so the CDF is over solid angle
+        theta = (jnp.arange(h) + 0.5) / h * jnp.pi
+        rowsum = (lum * jnp.sin(theta)[:, None]).sum(-1)
+        row_cdf = jnp.cumsum(rowsum) / jnp.sum(rowsum)
+        col_cdf = jnp.cumsum(lum, axis=-1) / jnp.sum(lum, axis=-1, keepdims=True)
+        return cls(image=image, row_cdf=row_cdf, col_cdf=col_cdf)
+
+    def _dir_to_uv(self, d):
+        theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+        phi = jnp.arctan2(d[..., 2], d[..., 0])
+        u = (phi / (2.0 * jnp.pi)) % 1.0
+        v = theta / jnp.pi
+        return u, v
+
+    def eval(self, d):
+        h, w, _ = self.image.shape
+        u, v = self._dir_to_uv(d)
+        x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        return self.image[y, x]
+
+    def sample_direction(self, u2):
+        h, w, _ = self.image.shape
+        y = jnp.searchsorted(self.row_cdf, u2[..., 0])
+        y = jnp.clip(y, 0, h - 1)
+        x = jax.vmap(lambda cdf, u: jnp.searchsorted(cdf, u))(self.col_cdf[y], u2[..., 1])
+        x = jnp.clip(x, 0, w - 1)
+        theta = (y + 0.5) / h * jnp.pi
+        phi = (x + 0.5) / w * 2.0 * jnp.pi
+        st = jnp.sin(theta)
+        d = jnp.stack([st * jnp.cos(phi), jnp.cos(theta), st * jnp.sin(phi)], -1)
+        pdf = self.pdf_direction(d)
+        return d, pdf, self.image[y, x]
+
+    def pdf_direction(self, d):
+        h, w, _ = self.image.shape
+        u, v = self._dir_to_uv(d)
+        x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        lum = jnp.maximum(self.image.mean(-1), 1e-8)
+        theta = (jnp.arange(h) + 0.5) / h * jnp.pi
+        rowsum = (lum * jnp.sin(theta)[:, None]).sum(-1)
+        p_row = rowsum[y] / jnp.sum(rowsum)
+        p_col = lum[y, x] / jnp.sum(lum, axis=-1)[y]
+        st = jnp.maximum(jnp.sin((y + 0.5) / h * jnp.pi), 1e-6)
+        # pixel solid angle = (2π/w)(π/h) sinθ
+        return p_row * p_col / ((2.0 * jnp.pi / w) * (jnp.pi / h) * st)
+
+
+def make_gradient_envmap(h=64, w=128, top=(1.2, 1.1, 1.0), bottom=(0.15, 0.18, 0.25), sun_dir=(0.4, 0.7, -0.4), sun_power=40.0, sun_scale=25.0):
+    """Procedural sky-like envmap (assets are not shipped with the
+    reference; SURVEY.md §2.2)."""
+    theta = (jnp.arange(h) + 0.5) / h * jnp.pi
+    phi = (jnp.arange(w) + 0.5) / w * 2.0 * jnp.pi
+    st = jnp.sin(theta)[:, None]
+    d = jnp.stack(
+        [st * jnp.cos(phi)[None, :], jnp.broadcast_to(jnp.cos(theta)[:, None], (h, w)), st * jnp.sin(phi)[None, :]],
+        -1,
+    )
+    tvec = jnp.asarray(top)
+    bvec = jnp.asarray(bottom)
+    m = (d[..., 1:2] + 1.0) * 0.5
+    img = m * tvec + (1 - m) * bvec
+    sun = normalize(jnp.asarray(sun_dir, jnp.float32))
+    img = img + sun_scale * jnp.maximum(jnp.sum(d * sun, -1), 0.0)[..., None] ** sun_power
+    return GridEnvmap.create(img)

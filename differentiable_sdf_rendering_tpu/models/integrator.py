@@ -1,0 +1,271 @@
+"""Reparameterized integrators and the wavefront render pipeline.
+
+TPU-native re-design of the reference integrator stack
+(``/root/reference/python/integrators/``): one jit-compiled wavefront over
+``(W+2b)·(H+2b)·spp`` ray lanes per (view, mode), with
+
+  * primal mode   — fast non-diff sphere trace, detached splat positions
+    (reparam.py:120-185 with reparam=False),
+  * grad mode     — warp-field reparameterized directions, attached
+    determinants, attached film-position/filter-weight reweighting
+    (reparam.py:82-118, sdf_direct_reparam.py:16-111).
+
+Integrators (registered by name, like the reference's Mitsuba plugins):
+  * ``sdf_silhouette_reparam``      — binary coverage × det
+  * ``sdf_simple_shading_reparam``  — headlight n·l debug shading × det
+  * ``sdf_direct_reparam``          — direct illumination with detached NEE,
+    reparameterized shadow rays at depth 1, optional MIS BSDF sampling.
+
+The primal/grad split mirrors the reference's usage: the training loop
+renders primal at high spp, takes dLoss/dimage, and pulls it back through a
+(lower-spp) grad-mode render via ``jax.vjp`` — exactly ``mi.render(...,
+spp, spp_grad)`` + ``dr.backward`` (shape_opt.py:78-83).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.film import BORDER, develop, splat
+from ..ops.interaction import compute_surface_interaction
+from ..ops.sampling import lane_uniforms, mis_weight
+from ..ops.sdf import TraceParams
+from ..ops.trace import sphere_trace
+from ..ops.vecmath import normalize, replace_grad
+from ..ops.warp import WarpConfig, reparameterize
+
+__all__ = ["RenderConfig", "render", "render_primal", "render_grad"]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (one jit cache entry per distinct config)."""
+
+    integrator: str = "sdf_direct_reparam"
+    spp: int = 64
+    use_mis: bool = False           # sdf_direct_reparam.py props
+    hide_emitters: bool = False
+    sample_border: bool = True
+    detach_indirect_si: bool = False   # ablations (sdf_direct_reparam.py:13-14)
+    decouple_reparam: bool = False
+    # debug ablations (gradient-decomposition tooling; all off by default)
+    debug_detach_nee_throughput: bool = False
+    debug_detach_normals: bool = False
+    debug_nondiff_si: bool = False
+    debug_detach_splat: bool = False
+    shadow_eps: float = 1e-3
+    warp: WarpConfig = WarpConfig()
+    trace: TraceParams = TraceParams()
+    max_depth: int = 4
+    # False ⇒ DummyWarpField semantics: no reparameterization, det ≡ 1,
+    # shading gradients only (reference warp.py:179-196, 'onlyshadinggrad')
+    use_warp: bool = True
+
+
+def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode):
+    """SDF hybrid intersect (reparam.py:201-232, SDF-only scenes): returns
+    (its_t, d_reparam, det)."""
+    reparam = mode != "primal" and cfg.use_warp
+    if reparam and cfg.warp.max_reparam_depth >= 0 and depth > cfg.warp.max_reparam_depth:
+        reparam = False
+    if not reparam:
+        its_t = sphere_trace(scene.sdf, o, d, cfg.trace)
+        return its_t, d, jnp.ones(o.shape[:-1], o.dtype)
+    return reparameterize(scene.sdf, o, d, cfg.warp, cfg.trace)
+
+
+def _sample_silhouette(scene, o, d, uni, cfg, mode):
+    its_t, d1, det = _ray_intersect(scene, o, d, 0, cfg, mode)
+    hit = jnp.isfinite(its_t).astype(o.dtype)
+    rgb = (hit * det)[..., None] * jnp.ones((3,), o.dtype)
+    return rgb, jnp.ones_like(hit, bool), det, d1
+
+
+def _sample_simple_shading(scene, o, d, uni, cfg, mode):
+    its_t, d1, det = _ray_intersect(scene, o, d, 0, cfg, mode)
+    si = compute_surface_interaction(scene.sdf, o, d1, its_t, differentiable=mode != "primal")
+    l_dir = normalize(jnp.asarray([1.0, 1.0, 1.0], o.dtype))
+    shade = jnp.maximum(jnp.sum(si.n * l_dir, -1), 0.0)
+    shade = jnp.where(si.valid, shade, 0.0)
+    rgb = (shade * det)[..., None] * jnp.ones((3,), o.dtype)
+    return rgb, jnp.ones_like(shade, bool), det, d1
+
+
+def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
+    """Direct illumination with NEE (sdf_direct_reparam.py:16-111)."""
+    reparametrize = mode != "primal"
+    its_t, d1, det = _ray_intersect(scene, o, d, 0, cfg, mode)
+    si = compute_surface_interaction(
+        scene.sdf, o, d1, its_t,
+        differentiable=reparametrize and not cfg.debug_nondiff_si,
+    )
+    if cfg.debug_detach_normals:
+        si = si.replace(n=jax.lax.stop_gradient(si.n), wi=jax.lax.stop_gradient(si.wi))
+    valid_ray = si.valid | (not cfg.hide_emitters)
+
+    throughput = det
+    # Escaped rays see the environment (attached d1 → silhouette gradients
+    # of the background, sdf_direct_reparam.py:31)
+    env = scene.emitter.eval(d1)
+    see_env = (~si.valid) & (not cfg.hide_emitters)
+    result = jnp.where(see_env[..., None], env, 0.0) * throughput[..., None]
+
+    # ---------------- Emitter sampling (NEE) ----------------
+    active_e = si.valid
+    ds_d, ds_pdf, ds_rad = scene.emitter.sample_direction(
+        jax.lax.stop_gradient(uni[:, 2:4])
+    )
+    ds_d = jax.lax.stop_gradient(ds_d)
+    active_e = active_e & (ds_pdf > 0)
+
+    si_p_det = jax.lax.stop_gradient(si.p)
+    if cfg.detach_indirect_si:
+        shadow_o = si_p_det
+    else:
+        shadow_o = si.p  # attached: nested-reparam (sdf_direct_reparam.py:49)
+    shadow_o = shadow_o + ds_d * cfg.shadow_eps
+    occluded_t, _, det_e = _ray_intersect(scene, shadow_o, ds_d, 1, cfg, mode)
+    visibility = jnp.where(jnp.isfinite(occluded_t), 0.0, 1.0)
+
+    wo = si.to_local(ds_d)
+    emitter_val = jnp.where(
+        (active_e & (ds_pdf > 0))[..., None], ds_rad / jnp.maximum(ds_pdf, 1e-12)[..., None], 0.0
+    )
+    if cfg.use_mis:
+        bsdf_val, bsdf_pdf = scene.bsdf.eval_pdf(si, wo)
+        w_mis = mis_weight(ds_pdf, jax.lax.stop_gradient(bsdf_pdf))
+        nee = visibility[..., None] * bsdf_val * emitter_val * w_mis[..., None]
+    else:
+        bsdf_val = scene.bsdf.eval(si, wo)
+        nee = visibility[..., None] * bsdf_val * emitter_val
+    nee_throughput = (
+        jax.lax.stop_gradient(throughput) if cfg.debug_detach_nee_throughput else throughput
+    )
+    result = result + jnp.where(
+        active_e[..., None], nee_throughput[..., None] * nee * det_e[..., None], 0.0
+    )
+
+    # ---------------- BSDF sampling (MIS) ----------------
+    if cfg.use_mis:
+        si_det = jax.lax.stop_gradient(si)
+        bs_wo, bs_pdf, bs_weight = scene.bsdf.sample(si_det, jax.lax.stop_gradient(uni[:, 4:6]))
+        active_b = si.valid & (bs_pdf > 0)
+        bsdf_d = jax.lax.stop_gradient(si_det.to_world(bs_wo))
+        bsdf_o = si.p + bsdf_d * cfg.shadow_eps
+        t_b, d_b, det_b = _ray_intersect(scene, bsdf_o, bsdf_d, 1, cfg, mode)
+        escaped = ~jnp.isfinite(t_b)
+        bsdf_val = scene.bsdf.eval(si, bs_wo)
+        emitter_pdf = scene.emitter.pdf_direction(bsdf_d)
+        L_b = scene.emitter.eval(d_b)
+        w_mis_b = mis_weight(bs_pdf, emitter_pdf)
+        contrib = (
+            bsdf_val
+            / jnp.maximum(bs_pdf, 1e-12)[..., None]
+            * L_b
+            * w_mis_b[..., None]
+        )
+        result = result + jnp.where(
+            (active_b & escaped)[..., None],
+            throughput[..., None] * contrib * det_b[..., None],
+            0.0,
+        )
+
+    return jnp.where(valid_ray[..., None], result, 0.0), valid_ray, det, d1
+
+
+_INTEGRATORS = {
+    "sdf_silhouette_reparam": _sample_silhouette,
+    "sdf_simple_shading_reparam": _sample_simple_shading,
+    "sdf_direct_reparam": _sample_direct,
+}
+
+
+def render_lane_block(scene, camera, lane, seed, cfg: RenderConfig, mode="primal"):
+    """Render a set of wavefront lanes and splat them into a film block.
+
+    ``lane``: (M,) uint32 *global* lane indices in [0, (W+2b)(H+2b)·spp) —
+    the RNG is keyed by global lane id, so any partition of the lane axis
+    across devices reproduces the single-chip estimate bit-for-bit
+    (SURVEY.md §2.4, deterministic per-ray RNG).  Returns the un-normalized
+    (H+2b, W+2b, 5) block; blocks from lane shards sum (psum) before
+    :func:`develop`.
+    """
+    W, H = camera.resx, camera.resy
+    b = BORDER if cfg.sample_border else 0
+    pw = W + 2 * b
+    spp = cfg.spp
+
+    pix = lane // spp
+    py = (pix // pw).astype(jnp.float32) - b
+    px = (pix % pw).astype(jnp.float32) - b
+    uni = lane_uniforms(seed, lane, 6)
+
+    pos = jnp.stack([px + uni[:, 0], py + uni[:, 1]], axis=-1)  # unpadded px coords
+    o, d = camera.sample_ray(pos)
+
+    sample_fn = _INTEGRATORS[cfg.integrator]
+    rgb, valid, det, d1 = sample_fn(scene, o, d, uni, cfg, mode)
+
+    if mode == "primal" or cfg.debug_detach_splat:
+        splat_pos = pos
+        rw = jnp.ones_like(det)
+    else:
+        # Re-evaluate the film position/importance with the attached
+        # (reparameterized) direction (reparam.py:99-104)
+        it_p = o + d1
+        splat_pos, imp = camera.project(it_p)
+        rw = replace_grad(jnp.ones_like(imp), imp / jax.lax.stop_gradient(imp))
+
+    alpha = valid.astype(rgb.dtype)
+    weight_ch = replace_grad(jnp.ones_like(det), det * rw)
+    values = jnp.concatenate(
+        [rgb * rw[..., None], alpha[..., None], weight_ch[..., None]], axis=-1
+    )
+    return splat(splat_pos, values, H, W, border=b)
+
+
+def render(scene, view_idx: int | None = None, seed=0, cfg: RenderConfig = RenderConfig(), mode="primal", camera=None):
+    """Render one view → (H, W, 4) rgb+alpha image.
+
+    ``mode='primal'`` gives the detached estimate; ``mode='grad'`` builds the
+    differentiable estimator (reparameterized directions, attached film
+    weights) whose vjp/jvp carry the shape gradients.
+    """
+    if camera is None:
+        camera = scene.cameras.view(view_idx if view_idx is not None else 0)
+    W, H = camera.resx, camera.resy
+    b = BORDER if cfg.sample_border else 0
+    n = (W + 2 * b) * (H + 2 * b) * cfg.spp
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    block = render_lane_block(scene, camera, lane, seed, cfg, mode)
+    return develop(block, border=b)
+
+
+def render_chunked(scene, view_idx=0, seed=0, cfg: RenderConfig = RenderConfig(), mode="primal", camera=None, n_chunks: int = 1):
+    """Render with the wavefront split into contiguous lane chunks to bound
+    peak memory (the role of Dr.Jit's wavefront-size cap,
+    reparam.py:47-50).  Bit-identical to :func:`render` for any n_chunks."""
+    if camera is None:
+        camera = scene.cameras.view(view_idx)
+    W, H = camera.resx, camera.resy
+    b = BORDER if cfg.sample_border else 0
+    n = (W + 2 * b) * (H + 2 * b) * cfg.spp
+    assert n % n_chunks == 0, (n, n_chunks)
+    sz = n // n_chunks
+    block = None
+    for c in range(n_chunks):
+        lane = jnp.arange(c * sz, (c + 1) * sz, dtype=jnp.uint32)
+        contrib = render_lane_block(scene, camera, lane, seed, cfg, mode)
+        block = contrib if block is None else block + contrib
+    return develop(block, border=b)
+
+
+def render_primal(scene, view_idx=0, seed=0, cfg=RenderConfig(), camera=None):
+    return render(scene, view_idx, seed, cfg, mode="primal", camera=camera)
+
+
+def render_grad(scene, view_idx=0, seed=0, cfg=RenderConfig(), camera=None):
+    return render(scene, view_idx, seed, cfg, mode="grad", camera=camera)

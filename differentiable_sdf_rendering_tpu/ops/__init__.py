@@ -1,3 +1,3 @@
 """Compute kernels: interpolation, tracing, warping, redistancing, film."""
 
-from . import grid, initializers, redistance, sdf  # noqa: F401
+from . import film, grid, initializers, interaction, redistance, sampling, sdf, trace, vecmath, warp  # noqa: F401

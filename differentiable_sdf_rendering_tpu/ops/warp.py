@@ -195,9 +195,12 @@ def reparameterize(
     if not reparam:
         return res.its_t, d, jnp.ones_like(res.warp_t)
 
-    x = jax.lax.stop_gradient(o) + jnp.where(
-        jnp.isfinite(res.warp_t), res.warp_t, 0.0
-    )[..., None] * jax.lax.stop_gradient(d)
+    # NOTE: o and d stay attached here — for secondary (shadow/bounce) rays
+    # the warp point x = ray(warp_t) moves with the attached ray origin,
+    # which is what makes *nested* reparameterization correct (the
+    # reference's ray(warp_t) at warp.py:111 with an attached ray; ablated
+    # by its detach_indirect_si flag).
+    x = o + jnp.where(jnp.isfinite(res.warp_t), res.warp_t, 0.0)[..., None] * d
     warp, div = warp_eval(
         sdf,
         x,

@@ -1,0 +1,311 @@
+"""The shape-reconstruction training loop.
+
+TPU-native re-design of the reference's ``optimize_shape``
+(``/root/reference/python/shape_opt.py:32-132``): the whole per-iteration
+body — primal renders, loss, the VJP through the reparameterized gradient
+renders, regularizer, gradient validation, Adam, bbox clamp and eikonal
+redistancing — is ONE jit-compiled step function.  Python only sequences
+phases (film-resolution and grid-upsampling schedule boundaries change array
+shapes, so each phase gets its own XLA specialization) and does I/O.
+
+Faithful semantics:
+  * primal image at ``spp·primal_spp_mult``, gradients pulled back through a
+    separate ``spp``-sample reparameterized render with its own seed —
+    exactly ``mi.render(..., spp, seed_grad, spp_grad)`` + ``dr.backward``
+    (shape_opt.py:78-83);
+  * strided view batches, per-view loss / batch_size;
+  * seed bookkeeping ``seed += 1 + n_sensors`` per view (shape_opt.py:71-81);
+  * Laplacian regularizer, grad clamp ±0.1, NaN suppression;
+  * adaptive LR ``32/res · lr/(1+0.02 i)``; Adam state reset on upsampling
+    (Mitsuba's Adam resets when a parameter changes shape);
+  * EMA of parameters, checkpoints every 64 iters, metadata dump.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.camera import regular_cameras, regular_cameras_top
+from ..models.integrator import RenderConfig, render
+from ..models.scene import Scene
+from ..models.scenes_zoo import scene_rig, target_sdf
+from ..ops.initializers import upsample_sdf, upsample_volume
+from ..ops.sdf import GridSDF
+from . import losses as losses_mod
+from .adam import adam_init, adam_step
+from .configs import BaseConfig
+from .opt_configs import SdfConfig
+from .regularizations import discrete_laplacian_reg
+from .variables import SdfVariableSpec, VolumeVariableSpec, ema_update
+
+__all__ = ["optimize_shape", "render_reference_images", "OptimizationResult"]
+
+_LOSSES = {
+    "l1": losses_mod.l1,
+    "l2": losses_mod.l2,
+    "mape": losses_mod.mape,
+    "multiscale_l1": losses_mod.multiscale_l1,
+}
+
+
+@dataclasses.dataclass
+class OptimizationResult:
+    params: dict
+    ema: dict
+    loss_values: list
+    total_time: float
+    scene: object
+
+
+def _make_cameras(opt_cfg: SdfConfig, resx, resy):
+    fn = regular_cameras_top if opt_cfg.cameras_top else regular_cameras
+    return fn(opt_cfg.n_sensors, opt_cfg.angle_shift, resx, resy)
+
+
+def _build_scene(base: Scene, params: dict) -> Scene:
+    sdf = base.sdf.replace(data=params["sdf"])
+    bsdf = base.bsdf
+    if "albedo" in params:
+        if hasattr(bsdf, "base_color_tex"):
+            bsdf = bsdf.replace(base_color_tex=params["albedo"])
+        else:
+            bsdf = bsdf.replace(albedo_tex=params["albedo"])
+    if "roughness" in params and hasattr(bsdf, "roughness_tex"):
+        bsdf = bsdf.replace(roughness_tex=params["roughness"])
+    return base.replace(sdf=sdf, bsdf=bsdf)
+
+
+def render_reference_images(scene: Scene, opt_cfg: SdfConfig, ref_spp: int = 512, cfg: RenderConfig | None = None):
+    """Render per-view references at full res + the multiscale pyramid
+    (optimize.py:11-29 with seed ``idx+41``; shape_opt.py:16-29)."""
+    cfg = cfg or RenderConfig(spp=ref_spp)
+    cfg = dataclasses.replace(cfg, spp=ref_spp)
+    refs = {}
+    fullres = (opt_cfg.resx, opt_cfg.resy)
+    per_view = []
+    rfun = jax.jit(
+        lambda scene, cam, seed: render(scene, seed=seed, cfg=cfg, mode="primal", camera=cam)
+    )
+    for v in range(opt_cfg.n_sensors):
+        img = rfun(scene, scene.cameras.view(v), v + 41)[..., :3]
+        per_view.append(img)
+    refs[fullres] = jnp.stack(per_view)
+    # pyramid for the multiscale-rendering schedule
+    res = fullres
+    cur = refs[fullres]
+    while min(res) > 8:
+        res = (res[0] // 2, res[1] // 2)
+        cur = jax.vmap(losses_mod.downsample_half)(cur)
+        refs[res] = cur
+    return refs
+
+
+@functools.partial(jax.jit, static_argnames=("loss_name", "cfg_primal", "cfg_grad", "batch", "specs", "base_treedef"))
+def _train_step(
+    params,
+    adam_state,
+    ema,
+    base_leaves,
+    view_indices,
+    seeds,
+    seeds_grad,
+    refs,
+    lrs,
+    *,
+    base_treedef,
+    loss_name,
+    cfg_primal: RenderConfig,
+    cfg_grad: RenderConfig,
+    batch: int,
+    specs,
+):
+    base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
+    loss_fn = _LOSSES[loss_name]
+    spec_by_key = {s.key: s for s in specs}
+
+    def one_view(params, j):
+        cam = base.cameras.view(view_indices[j])
+        scene_det = _build_scene(jax.lax.stop_gradient(base), jax.lax.stop_gradient(params))
+        img_p = render(scene_det, seed=seeds[j], cfg=cfg_primal, mode="primal", camera=cam)[..., :3]
+        lval, dimg = jax.value_and_grad(lambda im: loss_fn(im, refs[j]) / batch)(img_p)
+
+        def rfun(p):
+            return render(_build_scene(base, p), seed=seeds_grad[j], cfg=cfg_grad, mode="grad", camera=cam)[..., :3]
+
+        _, vjp = jax.vjp(rfun, params)
+        (gp,) = vjp(dimg)
+        return lval, gp
+
+    total_loss = jnp.zeros(())
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    for j in range(batch):
+        lval, gp = one_view(params, j)
+        total_loss = total_loss + lval
+        grads = jax.tree_util.tree_map(jnp.add, grads, gp)
+
+    # Laplacian regularizer on the SDF (shape_opt.py:89-92)
+    sdf_spec: SdfVariableSpec = spec_by_key["sdf"]
+    if sdf_spec.regularizer_weight > 0:
+        rval, rg = jax.value_and_grad(
+            lambda s: sdf_spec.regularizer_weight * discrete_laplacian_reg(s)
+        )(params["sdf"])
+        grads["sdf"] = grads["sdf"] + rg
+        total_loss = total_loss + rval
+
+    # gradient validation (variables.py:193-199)
+    for k in grads:
+        grads[k] = spec_by_key[k].validate_gradient(grads[k])
+
+    new_params, new_state = adam_step(params, grads, adam_state, lrs)
+
+    # parameter validation: clamps + redistancing (upsampling happens
+    # outside the jit at phase boundaries)
+    for k in new_params:
+        new_params[k] = spec_by_key[k].validate(new_params[k], int(-1))
+
+    new_ema = {
+        k: ema_update(ema.get(k), new_params[k], spec_by_key[k].beta)
+        if spec_by_key[k].beta is not None
+        else new_params[k]
+        for k in new_params
+    }
+    return new_params, new_state, new_ema, total_loss
+
+
+def optimize_shape(
+    scene_name: str,
+    opt_cfg: SdfConfig,
+    method_cfg: BaseConfig,
+    output_dir: str | None = None,
+    ref_spp: int = 512,
+    scene_dir: str | None = None,
+    target_res: int | None = None,
+    n_iter: int | None = None,
+    verbose: bool = True,
+    checkpoint_cb=None,
+) -> OptimizationResult:
+    """Run a full reconstruction (reference shape_opt.py:32-132 +
+    optimize.py: reference rendering happens here from the target SDF)."""
+    t_start = time.time()
+    n_iter = n_iter if n_iter is not None else method_cfg.n_iter
+    specs = tuple(opt_cfg.variables())
+    spec_by_key = {s.key: s for s in specs}
+
+    # ---- target scene & reference images at every scheduled resolution ----
+    tres = target_res or max(128, opt_cfg.sdf_res)
+    bsdf, emitter = scene_rig(opt_cfg.scene_name or scene_name, opt_cfg.param_keys)
+    tgt_sdf = GridSDF.create(target_sdf(opt_cfg.scene_name or scene_name, tres, scene_dir))
+    cams_full = _make_cameras(opt_cfg, opt_cfg.resx, opt_cfg.resy)
+    target_scene = Scene(sdf=tgt_sdf, bsdf=bsdf, emitter=emitter, cameras=cams_full)
+    ref_cfg = RenderConfig(
+        integrator=method_cfg.integrator if method_cfg.integrator != "sdf_prb_reparam" else "sdf_direct_reparam",
+        warp=method_cfg.warp_config(),
+        trace=method_cfg.trace_params(),
+    )
+    refs_pyramid = render_reference_images(target_scene, opt_cfg, ref_spp, ref_cfg)
+
+    # ---- initial parameters ----
+    params = {s.key: s.initialize() for s in specs}
+    adam_state = adam_init(params)
+    ema = {k: params[k] for k in params}
+    loss_values = []
+    seed = 0
+
+    cfg_grad = RenderConfig(
+        integrator=method_cfg.integrator,
+        spp=method_cfg.spp,
+        warp=method_cfg.warp_config(),
+        trace=method_cfg.trace_params(),
+        use_warp=method_cfg.warp_kind != "dummy",
+    )
+    cfg_primal = dataclasses.replace(cfg_grad, spp=method_cfg.spp * method_cfg.primal_spp_mult)
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+
+    for i in range(n_iter):
+        # --- phase bookkeeping: film res + grid upsampling (outside jit) ---
+        res = opt_cfg.res_at(i)
+        cams = _make_cameras(opt_cfg, res[0], res[1])
+        base = Scene(
+            sdf=GridSDF.create(jnp.zeros_like(params["sdf"])), bsdf=bsdf, emitter=emitter, cameras=cams
+        )
+        for s in specs:
+            if s.upsample_iter and i in s.upsample_iter:
+                up = upsample_sdf if isinstance(s, SdfVariableSpec) else upsample_volume
+                params[s.key] = up(params[s.key])
+                # Adam state resets on shape change (mi.ad.Adam behavior)
+                sub = adam_init({s.key: params[s.key]})
+                adam_state["m"][s.key] = sub["m"][s.key]
+                adam_state["v"][s.key] = sub["v"][s.key]
+                params[s.key] = s.validate(params[s.key], -1)
+
+        view_indices = jnp.asarray(opt_cfg.sensor_indices(i), jnp.int32)
+        batch = len(view_indices)
+        seeds = []
+        seeds_grad = []
+        for _ in range(batch):
+            seeds.append(seed)
+            seeds_grad.append(seed + 1 + opt_cfg.n_sensors)
+            seed += 1 + opt_cfg.n_sensors
+        refs = refs_pyramid[res][view_indices]
+
+        lrs = {}
+        for s in specs:
+            if isinstance(s, SdfVariableSpec):
+                lrs[s.key] = s.lr_for(method_cfg.learning_rate, i, params[s.key].shape[0])
+            else:
+                lrs[s.key] = s.lr_for(method_cfg.learning_rate, i)
+
+        base_leaves, base_treedef = jax.tree_util.tree_flatten(base)
+        params, adam_state, ema, loss = _train_step(
+            params,
+            adam_state,
+            ema,
+            tuple(base_leaves),
+            view_indices,
+            jnp.asarray(seeds),
+            jnp.asarray(seeds_grad),
+            refs,
+            lrs,
+            loss_name=opt_cfg.loss,
+            cfg_primal=cfg_primal,
+            cfg_grad=cfg_grad,
+            batch=batch,
+            specs=specs,
+            base_treedef=base_treedef,
+        )
+        loss_values.append(float(loss))
+        if verbose and (i % 8 == 0 or i == n_iter - 1):
+            print(f"[{i:4d}] loss = {loss_values[-1]:.5f}  res={res}  sdf={params['sdf'].shape}")
+
+        if output_dir and (i % opt_cfg.checkpoint_frequency == 0 or i == n_iter - 1):
+            from ..utils.io import write_vol
+
+            for s in specs:
+                write_vol(os.path.join(output_dir, "params", f"{s.key}-data-{i:04d}.vol"), np.asarray(params[s.key]))
+        if checkpoint_cb is not None:
+            checkpoint_cb(i, params, loss_values)
+
+    total_time = time.time() - t_start
+    if output_dir:
+        from ..utils.io import dump_metadata, write_vol
+
+        for s in specs:
+            write_vol(os.path.join(output_dir, "params", f"{s.key}-final.vol"), np.asarray(ema[s.key]))
+        dump_metadata(
+            method_cfg, opt_cfg, {"total_time": total_time, "loss_values": loss_values},
+            os.path.join(output_dir, "metadata.json"),
+        )
+    final_scene = _build_scene(
+        Scene(sdf=GridSDF.create(params["sdf"]), bsdf=bsdf, emitter=emitter, cameras=cams_full), params
+    )
+    return OptimizationResult(params, ema, loss_values, total_time, final_scene)

@@ -1,1 +1,3 @@
 """I/O and misc utilities."""
+
+from . import io  # noqa: F401

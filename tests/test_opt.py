@@ -1,0 +1,105 @@
+"""Optimization layer: losses/regularizer units + a tiny end-to-end
+reconstruction whose loss must decrease (the reference's own correctness
+criterion — SURVEY.md §4.4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from differentiable_sdf_rendering_tpu.opt import losses
+from differentiable_sdf_rendering_tpu.opt.adam import adam_init, adam_step, simple_lr_decay
+from differentiable_sdf_rendering_tpu.opt.configs import apply_cmdline_args, get_config
+from differentiable_sdf_rendering_tpu.opt.opt_configs import get_opt_config
+from differentiable_sdf_rendering_tpu.opt.regularizations import discrete_laplacian_reg
+from differentiable_sdf_rendering_tpu.opt.variables import SdfVariableSpec, box_sdf_grid
+
+
+def test_losses_basic():
+    a = jnp.zeros((8, 8, 3))
+    b = jnp.ones((8, 8, 3))
+    assert float(losses.l1(a, b)) == 1.0
+    assert float(losses.l2(a, b)) == 1.0
+    m = losses.multiscale_l1(a, b)
+    assert abs(float(m) - 1.0) < 1e-6  # blur of constant image is constant
+
+
+def test_box_blur_preserves_mean():
+    img = jnp.arange(48.0).reshape(4, 4, 3)
+    blurred = losses.box_blur_2x2(img)
+    assert blurred.shape == img.shape
+
+
+def test_laplacian_reg_flat_zero():
+    flat = jnp.full((8, 8, 8), 0.3)
+    assert float(discrete_laplacian_reg(flat)) < 1e-10
+    bumpy = flat.at[4, 4, 4].add(1.0)
+    assert float(discrete_laplacian_reg(bumpy)) > 0.1
+
+
+def test_adam_converges_quadratic():
+    params = {"x": jnp.asarray([3.0, -2.0])}
+    state = adam_init(params)
+    for _ in range(300):
+        g = {"x": 2.0 * params["x"]}
+        params, state = adam_step(params, g, state, {"x": jnp.asarray(0.1)})
+    np.testing.assert_allclose(np.asarray(params["x"]), 0.0, atol=1e-2)
+
+
+def test_lr_decay_schedule():
+    assert float(simple_lr_decay(0.04, 0.02, 0)) == pytest.approx(0.04)
+    assert float(simple_lr_decay(0.04, 0.02, 100)) == pytest.approx(0.04 / 3.0)
+    assert float(simple_lr_decay(0.04, 0.02, 490)) == pytest.approx(0.04 / (1 + 0.02 * 490) / 2)
+
+
+def test_box_sdf_grid_sign():
+    g = np.asarray(box_sdf_grid(16))
+    assert g[8, 8, 8] < 0  # center inside
+    assert g[0, 0, 0] > 0  # corner outside
+
+
+def test_sdf_variable_lifecycle():
+    spec = SdfVariableSpec(resolution=16, upsample_iter=(2,))
+    data = spec.initialize()
+    assert data.shape == (8, 8, 8)
+    up = spec.validate(data, 2)  # triggers upsample + redistance
+    assert up.shape == (16, 16, 16)
+    g = spec.validate_gradient(jnp.asarray([jnp.nan, 0.5, -0.5]))
+    np.testing.assert_allclose(np.asarray(g), [0.0, 0.1, -0.1])
+
+
+def test_config_two_axis_override():
+    mc = get_config("warp")
+    rest = apply_cmdline_args(mc, ["--learning_rate=0.01", "--spp=8", "--unknown=3"])
+    assert mc.learning_rate == 0.01 and mc.spp == 8
+    assert rest == ["--unknown=3"]
+    oc, rest2 = get_opt_config("no-tex-12", rest)
+    assert rest2 == ["--unknown=3"]
+    assert oc.n_sensors == 12 and oc.batch_size == 6
+
+
+def test_strided_view_batching():
+    oc, _ = get_opt_config("no-tex-12")
+    assert oc.sensor_indices(0) == [0, 2, 4, 6, 8, 10]
+    assert oc.sensor_indices(1) == [1, 3, 5, 7, 9, 11]
+    assert oc.sensor_indices(2) == [0, 2, 4, 6, 8, 10]
+
+
+@pytest.mark.slow
+def test_end_to_end_reconstruction_loss_decreases():
+    """Tiny sphere→block reconstruction; multi-iteration loss must drop."""
+    from differentiable_sdf_rendering_tpu.opt.shape_opt import optimize_shape
+
+    mc = get_config("warp")
+    mc.spp = 4
+    mc.primal_spp_mult = 2
+    oc, _ = get_opt_config("no-tex-3")
+    oc.resx = oc.resy = 24
+    oc.sdf_res = 16
+    oc.upsample_iter = ()
+    oc.use_multiscale_rendering = False
+    res = optimize_shape(
+        "block", oc, mc, output_dir=None, ref_spp=16, n_iter=8, target_res=32, verbose=False
+    )
+    losses_arr = res.loss_values
+    assert np.isfinite(losses_arr).all()
+    assert losses_arr[-1] < losses_arr[0] * 0.9, losses_arr
