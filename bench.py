@@ -40,7 +40,9 @@ def main():
     adjoint_spp = 8 if small else 64         # Fig 9a: 64
     grid_res = 32 if small else 128          # bunny_128 analog
     n_runs = 2 if small else 5               # mean of 5
-    n_chunks = 1 if small else 16
+    # ~130k lanes per chunk keeps the wavefront's live temps well under the
+    # v5e's 16 GB HBM (the warp trace carries ~20 per-lane vec3 temps)
+    n_chunks = 1 if small else 128
 
     sdf_data = target_sdf("bunny", grid_res)
     cams = regular_cameras(1, resx=res, resy=res)
@@ -67,19 +69,22 @@ def main():
 
     dimg = jnp.ones((res, res, 3), jnp.float32)
 
+    def sync(x):
+        # On the remote-TPU (axon) platform block_until_ready can return
+        # before execution finishes; fetching a scalar forces completion.
+        return float(jnp.sum(x))
+
     # warmup/compile
-    img = primal(scene)
-    img.block_until_ready()
-    g = adjoint(scene, dimg)
-    g.block_until_ready()
+    sync(primal(scene))
+    sync(adjoint(scene, dimg))
 
     t_primal, t_adj = [], []
     for _ in range(n_runs):
         t0 = time.perf_counter()
-        primal(scene).block_until_ready()
+        sync(primal(scene))
         t_primal.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        adjoint(scene, dimg).block_until_ready()
+        sync(adjoint(scene, dimg))
         t_adj.append(time.perf_counter() - t0)
 
     b = 2  # film border
@@ -92,9 +97,9 @@ def main():
     # Fig 9b: redistancing throughput at the optimization resolution
     rphi = jax.jit(lambda x: redistance(x))
     x = sdf_data * 3.0
-    rphi(x).block_until_ready()
+    sync(rphi(x))
     t0 = time.perf_counter()
-    rphi(x).block_until_ready()
+    sync(rphi(x))
     t_redist = time.perf_counter() - t0
 
     result = {

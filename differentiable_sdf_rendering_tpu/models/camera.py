@@ -15,7 +15,14 @@ from flax import struct
 
 from ..ops.vecmath import normalize
 
-__all__ = ["PerspectiveCamera", "look_at", "regular_cameras", "turntable_cameras"]
+__all__ = [
+    "PerspectiveCamera",
+    "SphericalCamera",
+    "look_at",
+    "regular_cameras",
+    "regular_cameras_top",
+    "turntable_cameras",
+]
 
 
 @struct.dataclass
@@ -72,6 +79,44 @@ class PerspectiveCamera:
         cos_theta = z / jnp.sqrt(jnp.maximum(jnp.sum(p_cam * p_cam, -1), 1e-20))
         importance = cos_theta ** (-3)
         return pos, importance
+
+
+@struct.dataclass
+class SphericalCamera:
+    """Equirectangular (or uniform-sphere) sensor — port of the custom
+    Mitsuba sensor plugin at ``/root/reference/figures/spherical_sensor.py``
+    (proves the custom-sensor extension point)."""
+
+    origin: jnp.ndarray  # (3,)
+    resx: int = struct.field(pytree_node=False, default=256)
+    resy: int = struct.field(pytree_node=False, default=128)
+    uniform: bool = struct.field(pytree_node=False, default=False)
+
+    def view(self, i):
+        return self
+
+    def sample_ray(self, pos_pixels: jnp.ndarray):
+        u = pos_pixels[..., 0] / self.resx
+        v = pos_pixels[..., 1] / self.resy
+        if self.uniform:
+            ct = 1.0 - 2.0 * v
+            st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+        else:
+            theta = v * jnp.pi
+            ct, st = jnp.cos(theta), jnp.sin(theta)
+        phi = u * 2.0 * jnp.pi
+        d = jnp.stack([st * jnp.cos(phi), ct, st * jnp.sin(phi)], axis=-1)
+        o = jnp.broadcast_to(self.origin, d.shape)
+        return o, d
+
+    def project(self, p: jnp.ndarray):
+        d = normalize(p - self.origin)
+        theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+        phi = jnp.arctan2(d[..., 2], d[..., 0]) % (2.0 * jnp.pi)
+        u = phi / (2.0 * jnp.pi)
+        v = theta / jnp.pi
+        pos = jnp.stack([u * self.resx, v * self.resy], axis=-1)
+        return pos, jnp.ones(p.shape[:-1], p.dtype)
 
 
 def look_at(origin, target, up=(0.0, 1.0, 0.0)):

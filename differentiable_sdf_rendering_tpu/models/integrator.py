@@ -36,6 +36,7 @@ from ..ops.sdf import TraceParams
 from ..ops.trace import sphere_trace
 from ..ops.vecmath import normalize, replace_grad
 from ..ops.warp import WarpConfig, reparameterize
+from ..ops.warp_conv import ConvWarpConfig
 
 __all__ = ["RenderConfig", "render", "render_primal", "render_grad"]
 
@@ -63,29 +64,47 @@ class RenderConfig:
     # False ⇒ DummyWarpField semantics: no reparameterization, det ≡ 1,
     # shading gradients only (reference warp.py:179-196, 'onlyshadinggrad')
     use_warp: bool = True
+    # 'warp' (ours) | 'conv' (Bangaru et al. baseline) | 'dummy'
+    warp_kind: str = "warp"
+    conv: ConvWarpConfig = ConvWarpConfig()
 
 
-def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode):
+def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None):
     """SDF hybrid intersect (reparam.py:201-232, SDF-only scenes): returns
     (its_t, d_reparam, det)."""
-    reparam = mode != "primal" and cfg.use_warp
+    reparam = mode != "primal" and cfg.use_warp and cfg.warp_kind != "dummy"
     if reparam and cfg.warp.max_reparam_depth >= 0 and depth > cfg.warp.max_reparam_depth:
         reparam = False
     if not reparam:
         its_t = sphere_trace(scene.sdf, o, d, cfg.trace)
         return its_t, d, jnp.ones(o.shape[:-1], o.dtype)
+    if cfg.warp_kind == "conv":
+        from ..ops.warp_conv import conv_reparameterize
+
+        its_t = sphere_trace(scene.sdf, o, d, cfg.trace)
+        n_aux = cfg.conv.n_aux_rays
+        u = uni_conv.reshape(uni_conv.shape[:-1] + (n_aux, 2))
+        d1, det = conv_reparameterize(scene.sdf, o, d, u, cfg.conv, cfg.trace)
+        return its_t, d1, det
     return reparameterize(scene.sdf, o, d, cfg.warp, cfg.trace)
 
 
+def _conv_uni(uni, cfg, depth):
+    if cfg.warp_kind != "conv":
+        return None
+    n = 2 * cfg.conv.n_aux_rays
+    return uni[:, 6 + depth * n : 6 + (depth + 1) * n]
+
+
 def _sample_silhouette(scene, o, d, uni, cfg, mode):
-    its_t, d1, det = _ray_intersect(scene, o, d, 0, cfg, mode)
+    its_t, d1, det = _ray_intersect(scene, o, d, 0, cfg, mode, _conv_uni(uni, cfg, 0))
     hit = jnp.isfinite(its_t).astype(o.dtype)
     rgb = (hit * det)[..., None] * jnp.ones((3,), o.dtype)
     return rgb, jnp.ones_like(hit, bool), det, d1
 
 
 def _sample_simple_shading(scene, o, d, uni, cfg, mode):
-    its_t, d1, det = _ray_intersect(scene, o, d, 0, cfg, mode)
+    its_t, d1, det = _ray_intersect(scene, o, d, 0, cfg, mode, _conv_uni(uni, cfg, 0))
     si = compute_surface_interaction(scene.sdf, o, d1, its_t, differentiable=mode != "primal")
     l_dir = normalize(jnp.asarray([1.0, 1.0, 1.0], o.dtype))
     shade = jnp.maximum(jnp.sum(si.n * l_dir, -1), 0.0)
@@ -97,7 +116,7 @@ def _sample_simple_shading(scene, o, d, uni, cfg, mode):
 def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     """Direct illumination with NEE (sdf_direct_reparam.py:16-111)."""
     reparametrize = mode != "primal"
-    its_t, d1, det = _ray_intersect(scene, o, d, 0, cfg, mode)
+    its_t, d1, det = _ray_intersect(scene, o, d, 0, cfg, mode, _conv_uni(uni, cfg, 0))
     si = compute_surface_interaction(
         scene.sdf, o, d1, its_t,
         differentiable=reparametrize and not cfg.debug_nondiff_si,
@@ -127,7 +146,7 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     else:
         shadow_o = si.p  # attached: nested-reparam (sdf_direct_reparam.py:49)
     shadow_o = shadow_o + ds_d * cfg.shadow_eps
-    occluded_t, _, det_e = _ray_intersect(scene, shadow_o, ds_d, 1, cfg, mode)
+    occluded_t, _, det_e = _ray_intersect(scene, shadow_o, ds_d, 1, cfg, mode, _conv_uni(uni, cfg, 1))
     visibility = jnp.where(jnp.isfinite(occluded_t), 0.0, 1.0)
 
     wo = si.to_local(ds_d)
@@ -155,7 +174,7 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
         active_b = si.valid & (bs_pdf > 0)
         bsdf_d = jax.lax.stop_gradient(si_det.to_world(bs_wo))
         bsdf_o = si.p + bsdf_d * cfg.shadow_eps
-        t_b, d_b, det_b = _ray_intersect(scene, bsdf_o, bsdf_d, 1, cfg, mode)
+        t_b, d_b, det_b = _ray_intersect(scene, bsdf_o, bsdf_d, 1, cfg, mode, _conv_uni(uni, cfg, 1))
         escaped = ~jnp.isfinite(t_b)
         bsdf_val = scene.bsdf.eval(si, bs_wo)
         emitter_pdf = scene.emitter.pdf_direction(bsdf_d)
@@ -176,10 +195,17 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     return jnp.where(valid_ray[..., None], result, 0.0), valid_ray, det, d1
 
 
+def _sample_prb(scene, o, d, uni, cfg, mode):
+    from .prb import sample_prb
+
+    return sample_prb(scene, o, d, uni, cfg, mode)
+
+
 _INTEGRATORS = {
     "sdf_silhouette_reparam": _sample_silhouette,
     "sdf_simple_shading_reparam": _sample_simple_shading,
     "sdf_direct_reparam": _sample_direct,
+    "sdf_prb_reparam": _sample_prb,
 }
 
 
@@ -201,7 +227,10 @@ def render_lane_block(scene, camera, lane, seed, cfg: RenderConfig, mode="primal
     pix = lane // spp
     py = (pix // pw).astype(jnp.float32) - b
     px = (pix % pw).astype(jnp.float32) - b
-    uni = lane_uniforms(seed, lane, 6)
+    n_uni = 6 + (8 * cfg.max_depth if cfg.integrator == "sdf_prb_reparam" else 0)
+    if cfg.warp_kind == "conv":
+        n_uni += 4 * cfg.conv.n_aux_rays
+    uni = lane_uniforms(seed, lane, n_uni)
 
     pos = jnp.stack([px + uni[:, 0], py + uni[:, 1]], axis=-1)  # unpadded px coords
     o, d = camera.sample_ray(pos)
@@ -246,20 +275,32 @@ def render(scene, view_idx: int | None = None, seed=0, cfg: RenderConfig = Rende
 
 def render_chunked(scene, view_idx=0, seed=0, cfg: RenderConfig = RenderConfig(), mode="primal", camera=None, n_chunks: int = 1):
     """Render with the wavefront split into contiguous lane chunks to bound
-    peak memory (the role of Dr.Jit's wavefront-size cap,
-    reparam.py:47-50).  Bit-identical to :func:`render` for any n_chunks."""
+    peak memory (the role of Dr.Jit's wavefront-size cap, reparam.py:47-50).
+    Bit-identical to :func:`render` for any n_chunks.
+
+    The chunk loop is a ``lax.scan`` with a rematerialized body: one copy of
+    the trace program regardless of chunk count, and the backward pass
+    recomputes per-chunk intermediates instead of storing the whole
+    wavefront (``jax.checkpoint`` ≙ trading FLOPs for HBM).
+    """
     if camera is None:
         camera = scene.cameras.view(view_idx)
     W, H = camera.resx, camera.resy
     b = BORDER if cfg.sample_border else 0
     n = (W + 2 * b) * (H + 2 * b) * cfg.spp
     assert n % n_chunks == 0, (n, n_chunks)
+    if n_chunks == 1:
+        return render(scene, view_idx, seed, cfg, mode, camera)
     sz = n // n_chunks
-    block = None
-    for c in range(n_chunks):
-        lane = jnp.arange(c * sz, (c + 1) * sz, dtype=jnp.uint32)
-        contrib = render_lane_block(scene, camera, lane, seed, cfg, mode)
-        block = contrib if block is None else block + contrib
+
+    @jax.checkpoint
+    def body(carry, off):
+        lane = off + jnp.arange(sz, dtype=jnp.uint32)
+        return carry + render_lane_block(scene, camera, lane, seed, cfg, mode), None
+
+    init = jnp.zeros((H + 2 * b, W + 2 * b, 5), jnp.float32)
+    offsets = (jnp.arange(n_chunks, dtype=jnp.uint32)) * jnp.uint32(sz)
+    block, _ = jax.lax.scan(body, init, offsets)
     return develop(block, border=b)
 
 

@@ -219,12 +219,20 @@ def optimize_shape(
     loss_values = []
     seed = 0
 
+    from ..ops.warp_conv import ConvWarpConfig
+
     cfg_grad = RenderConfig(
         integrator=method_cfg.integrator,
         spp=method_cfg.spp,
         warp=method_cfg.warp_config(),
         trace=method_cfg.trace_params(),
         use_warp=method_cfg.warp_kind != "dummy",
+        warp_kind=method_cfg.warp_kind,
+        conv=ConvWarpConfig(
+            n_aux_rays=method_cfg.n_aux_rays,
+            kappa=method_cfg.conv_kappa,
+            power=method_cfg.conv_power,
+        ),
     )
     cfg_primal = dataclasses.replace(cfg_grad, spp=method_cfg.spp * method_cfg.primal_spp_mult)
 
