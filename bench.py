@@ -23,7 +23,9 @@ import numpy as np
 
 
 def main():
-    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    scale = os.environ.get("BENCH_SCALE", "full")
+    if os.environ.get("BENCH_SMALL", "0") == "1":
+        scale = "small"
     import jax
     import jax.numpy as jnp
 
@@ -35,14 +37,14 @@ def main():
     from differentiable_sdf_rendering_tpu.models.scenes_zoo import target_sdf
     from differentiable_sdf_rendering_tpu.ops.redistance import redistance
 
-    res = 64 if small else 256               # film res (Fig 9a: 256)
-    primal_spp = 16 if small else 256        # Fig 9a: 256
-    adjoint_spp = 8 if small else 64         # Fig 9a: 64
-    grid_res = 32 if small else 128          # bunny_128 analog
-    n_runs = 2 if small else 5               # mean of 5
-    # ~130k lanes per chunk keeps the wavefront's live temps well under the
-    # v5e's 16 GB HBM (the warp trace carries ~20 per-lane vec3 temps)
-    n_chunks = 1 if small else 128
+    # film res / primal spp / adjoint spp / grid res / runs / chunks
+    # (full = the reference's Fig-9a protocol: 256², 256+64 spp, 128³ SDF)
+    params = {
+        "small": (64, 16, 8, 32, 2, 1),
+        "medium": (128, 64, 16, 64, 3, 16),
+        "full": (256, 256, 64, 128, 5, 128),
+    }[scale]
+    res, primal_spp, adjoint_spp, grid_res, n_runs, n_chunks = params
 
     sdf_data = target_sdf("bunny", grid_res)
     cams = regular_cameras(1, resx=res, resy=res)

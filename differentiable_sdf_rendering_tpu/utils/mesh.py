@@ -1,0 +1,102 @@
+"""Mesh loading and mesh→SDF conversion.
+
+Port of the reference's asset pipeline ``create_sdf``
+(``/root/reference/python/mesh_to_sdf.py:9-56``): ray-parity occupancy on
+the voxel lattice, redistancing, then near-surface refinement — but with
+exact closest-point-on-triangle distances (via the native helpers) instead
+of 256-direction ray fans, which is both faster and more accurate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import native
+from ..ops.redistance import redistance
+from ..ops.initializers import voxel_centers
+
+__all__ = ["load_obj", "icosphere", "create_sdf"]
+
+
+def load_obj(path: str):
+    """Minimal wavefront OBJ loader → (verts (n,3) f32, tris (m,3) i32)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                for k in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return np.asarray(verts, np.float32), np.asarray(faces, np.int32)
+
+
+def icosphere(subdiv: int = 2, center=(0.5, 0.5, 0.5), radius: float = 0.3):
+    """Procedural test mesh (watertight)."""
+    t = (1.0 + 5**0.5) / 2.0
+    verts = np.asarray(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float64,
+    )
+    faces = np.asarray(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int64,
+    )
+    verts /= np.linalg.norm(verts, axis=-1, keepdims=True)
+    for _ in range(subdiv):
+        edge_mid = {}
+        new_faces = []
+        verts_list = list(verts)
+
+        def midpoint(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in edge_mid:
+                m = verts_list[i] + verts_list[j]
+                m /= np.linalg.norm(m)
+                edge_mid[key] = len(verts_list)
+                verts_list.append(m)
+            return edge_mid[key]
+
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(verts_list)
+        faces = np.asarray(new_faces, np.int64)
+    verts = verts * radius + np.asarray(center)
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def create_sdf(mesh, res: int = 128, refine_band: float | None = None):
+    """Watertight mesh → SDF grid (mesh_to_sdf.py:9-56).
+
+    Args:
+      mesh: (verts, tris) tuple or an .obj path.
+      res: output grid resolution (unit-cube lattice).
+      refine_band: half-width (in world units) of the near-surface band to
+        refine with exact distances; default 1.5 voxels.
+    """
+    if isinstance(mesh, str):
+        mesh = load_obj(mesh)
+    verts, tris = mesh
+    occ = native.mesh_occupancy(verts, tris, res)  # +1 outside / −1 inside
+    sdf = np.asarray(redistance(occ * 0.5))
+
+    band = refine_band if refine_band is not None else 1.5 / res
+    near = np.abs(sdf) < band
+    pts = np.asarray(voxel_centers(res)).reshape(-1, 3)[near.ravel()]
+    if len(pts):
+        dist = native.mesh_min_distance(verts, tris, pts)
+        signed = np.where(occ[near] < 0, -dist, dist)
+        sdf = sdf.copy()
+        sdf[near] = signed
+    return np.asarray(redistance(sdf))
