@@ -3,13 +3,19 @@
 
 Mirrors the reference's Figure-9a protocol
 (``/root/reference/figures/benchmark/benchmark.py:23-118``): 256×256 pixels,
-256 primal spp + 64 adjoint spp against a 128³ SDF, mean of N runs, device
-timing via ``block_until_ready``.  Headline metric: rays/s/chip through the
-forward+backward sphere trace (primal render + VJP of the reparameterized
-gradient render), plus redistancing throughput (Fig. 9b).
+256 primal spp + 64 adjoint spp against a 128³ SDF, mean of N runs.
+Headline metric: rays/s/chip through the forward+backward sphere trace
+(primal renders + VJP of the reparameterized gradient render), plus
+redistancing throughput (Fig. 9b).
 
-Runs on whatever the default JAX platform is (the real TPU chip under the
-driver; set JAX_PLATFORMS=cpu and BENCH_SMALL=1 for a local smoke run).
+The wavefront is sliced at the *host* level (several jit dispatches of an
+spp-slice, film blocks accumulated on device) — the same throughput metric
+as one giant program, but with small XLA programs that compile reliably
+through the remote-TPU tunnel and bound HBM use, mirroring Dr.Jit's
+wavefront cap (reparam.py:47-50).
+
+Runs on the default JAX platform (the real TPU chip under the driver; set
+BENCH_SCALE=small and JAX_PLATFORMS=cpu for a local smoke run).
 """
 
 from __future__ import annotations
@@ -30,71 +36,92 @@ def main():
     import jax.numpy as jnp
 
     from differentiable_sdf_rendering_tpu.models.camera import regular_cameras
-    from differentiable_sdf_rendering_tpu.models.integrator import (
-        RenderConfig, render_chunked,
-    )
+    from differentiable_sdf_rendering_tpu.models.integrator import RenderConfig, render_lane_block
     from differentiable_sdf_rendering_tpu.models.scene import Scene
     from differentiable_sdf_rendering_tpu.models.scenes_zoo import target_sdf
+    from differentiable_sdf_rendering_tpu.ops.film import BORDER, develop
     from differentiable_sdf_rendering_tpu.ops.redistance import redistance
 
-    # film res / primal spp / adjoint spp / grid res / runs / chunks
+    # film res / primal spp / adjoint spp / grid res / runs / spp per slice
     # (full = the reference's Fig-9a protocol: 256², 256+64 spp, 128³ SDF)
-    params = {
-        "small": (64, 16, 8, 32, 2, 1),
+    res, primal_spp, adjoint_spp, grid_res, n_runs, slice_spp = {
+        "small": (64, 16, 8, 32, 2, 16),
         "medium": (128, 64, 16, 64, 3, 16),
-        "full": (256, 256, 64, 128, 5, 128),
+        "full": (256, 256, 64, 128, 5, 4),
     }[scale]
-    res, primal_spp, adjoint_spp, grid_res, n_runs, n_chunks = params
 
     sdf_data = target_sdf("bunny", grid_res)
-    cams = regular_cameras(1, resx=res, resy=res)
-    scene = Scene.create(sdf_data, cameras=cams)
+    cam = regular_cameras(1, resx=res, resy=res).view(0)
+    scene = Scene.create(sdf_data, cameras=regular_cameras(1, resx=res, resy=res))
     cfg_p = RenderConfig(integrator="sdf_direct_reparam", spp=primal_spp)
     cfg_g = RenderConfig(integrator="sdf_direct_reparam", spp=adjoint_spp)
+    b = BORDER
+    pw = (res + 2 * b) * (res + 2 * b)
+
+    # ---- primal: slices of the lane space, accumulated on device ----
+    n_primal = pw * primal_spp
+    n_slices_p = max(1, primal_spp // slice_spp)
+    sz_p = n_primal // n_slices_p
 
     @jax.jit
-    def primal(scene):
-        return render_chunked(scene, 0, seed=0, cfg=cfg_p, mode="primal", n_chunks=n_chunks)
+    def primal_slice(scene, block, off):
+        lane = off + jnp.arange(sz_p, dtype=jnp.uint32)
+        return block + render_lane_block(scene, cam, lane, 0, cfg_p, "primal")
+
+    # ---- adjoint: VJP of one gradient-mode slice ----
+    n_adj = pw * adjoint_spp
+    n_slices_a = max(1, adjoint_spp // max(1, slice_spp // 4))
+    sz_a = n_adj // n_slices_a
 
     @jax.jit
-    def adjoint(scene, dimg):
+    def adjoint_slice(scene, goal, off):
+        lane = off + jnp.arange(sz_a, dtype=jnp.uint32)
+
         def rf(data):
-            return render_chunked(
-                scene.replace(sdf=scene.sdf.replace(data=data)),
-                0, seed=1, cfg=cfg_g, mode="grad",
-                n_chunks=max(1, n_chunks // 4),
-            )[..., :3]
+            sc = scene.replace(sdf=scene.sdf.replace(data=data))
+            return render_lane_block(sc, cam, lane, 1, cfg_g, "grad")
 
         _, vjp = jax.vjp(rf, scene.sdf.data)
-        (g,) = vjp(dimg)
+        (g,) = vjp(goal)
         return g
-
-    dimg = jnp.ones((res, res, 3), jnp.float32)
 
     def sync(x):
         # On the remote-TPU (axon) platform block_until_ready can return
-        # before execution finishes; fetching a scalar forces completion.
+        # before execution finishes; fetching data forces completion.
         return float(jnp.sum(x))
 
+    goal = jnp.ones((res + 2 * b, res + 2 * b, 5), jnp.float32)
+    zero_block = jnp.zeros((res + 2 * b, res + 2 * b, 5), jnp.float32)
+
+    def run_primal():
+        block = zero_block
+        for i in range(n_slices_p):
+            block = primal_slice(scene, block, jnp.uint32(i * sz_p))
+        return develop(block, border=b)
+
+    def run_adjoint():
+        g = None
+        for i in range(n_slices_a):
+            gi = adjoint_slice(scene, goal, jnp.uint32(i * sz_a))
+            g = gi if g is None else g + gi
+        return g
+
     # warmup/compile
-    sync(primal(scene))
-    sync(adjoint(scene, dimg))
+    sync(run_primal())
+    sync(run_adjoint())
 
     t_primal, t_adj = [], []
     for _ in range(n_runs):
         t0 = time.perf_counter()
-        sync(primal(scene))
+        sync(run_primal())
         t_primal.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        sync(adjoint(scene, dimg))
+        sync(run_adjoint())
         t_adj.append(time.perf_counter() - t0)
 
-    b = 2  # film border
-    primal_rays = (res + 2 * b) ** 2 * primal_spp
-    adjoint_rays = (res + 2 * b) ** 2 * adjoint_spp
     tp = float(np.mean(t_primal))
     ta = float(np.mean(t_adj))
-    rays_per_s = (primal_rays + adjoint_rays) / (tp + ta)
+    rays_per_s = (n_primal + n_adj) / (tp + ta)
 
     # Fig 9b: redistancing throughput at the optimization resolution
     rphi = jax.jit(lambda x: redistance(x))
@@ -119,6 +146,7 @@ def main():
             "t_redistance_s": round(t_redist, 4),
             "platform": jax.devices()[0].platform,
             "n_runs": n_runs,
+            "scale": scale,
         },
     }
     print(json.dumps(result))

@@ -67,6 +67,8 @@ class RenderConfig:
     # 'warp' (ours) | 'conv' (Bangaru et al. baseline) | 'dummy'
     warp_kind: str = "warp"
     conv: ConvWarpConfig = ConvWarpConfig()
+    # mirrored pixel-jitter pairs (reparam.py:19,167-178; used in evaluation)
+    antithetic_sampling: bool = False
 
 
 def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None):
@@ -232,7 +234,15 @@ def render_lane_block(scene, camera, lane, seed, cfg: RenderConfig, mode="primal
         n_uni += 4 * cfg.conv.n_aux_rays
     uni = lane_uniforms(seed, lane, n_uni)
 
-    pos = jnp.stack([px + uni[:, 0], py + uni[:, 1]], axis=-1)  # unpadded px coords
+    jx, jy = uni[:, 0], uni[:, 1]
+    if cfg.antithetic_sampling:
+        # odd lanes take the mirrored jitter of their even partner
+        # (position_sample2 = pos - r + 1, reparam.py:173)
+        partner = lane_uniforms(seed, lane & ~jnp.uint32(1), 2)
+        odd = (lane & 1) == 1
+        jx = jnp.where(odd, 1.0 - partner[:, 0], jx)
+        jy = jnp.where(odd, 1.0 - partner[:, 1], jy)
+    pos = jnp.stack([px + jx, py + jy], axis=-1)  # unpadded px coords
     o, d = camera.sample_ray(pos)
 
     sample_fn = _INTEGRATORS[cfg.integrator]
@@ -271,6 +281,54 @@ def render(scene, view_idx: int | None = None, seed=0, cfg: RenderConfig = Rende
     lane = jnp.arange(n, dtype=jnp.uint32)
     block = render_lane_block(scene, camera, lane, seed, cfg, mode)
     return develop(block, border=b)
+
+
+def render_aovs(scene, view_idx=0, seed=0, cfg: RenderConfig = RenderConfig(), camera=None):
+    """Diagnostic AOV images (reference aov_names, reparam.py:263-267):
+    returns a dict of (H, W) arrays — depth, warp_t, weight_sum, trace
+    iteration count, divergence, normal, sdf value at the warp point."""
+    from ..ops.trace import sphere_trace_warp
+    from ..ops.warp import warp_eval
+
+    if camera is None:
+        camera = scene.cameras.view(view_idx)
+    W, H = camera.resx, camera.resy
+    n = W * H * cfg.spp
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    pix = lane // cfg.spp
+    py = (pix // W).astype(jnp.float32)
+    px = (pix % W).astype(jnp.float32)
+    uni = lane_uniforms(seed, lane, 2)
+    pos = jnp.stack([px + uni[:, 0], py + uni[:, 1]], axis=-1)
+    o, d = camera.sample_ray(pos)
+
+    res = sphere_trace_warp(scene.sdf, o, d, cfg.trace)
+    x = o + jnp.where(jnp.isfinite(res.warp_t), res.warp_t, 0.0)[..., None] * d
+    _, div = warp_eval(
+        scene.sdf, x, d, res.warp_t, res.warp_t_d, cfg.warp,
+        warp_weight_mult=res.warp_weight, warp_weight_mult_d=res.warp_weight_d,
+    )
+    si = compute_surface_interaction(scene.sdf, o, d, res.its_t, differentiable=False)
+    f_warp = scene.sdf.eval(jnp.where(jnp.isfinite(res.warp_t)[..., None], x, 0.5))
+
+    def img(v):
+        v = jnp.where(jnp.isfinite(v), v, 0.0)
+        return v.reshape(H, W, cfg.spp).mean(-1)
+
+    return {
+        "depth": img(res.its_t),
+        "warp_t": img(res.warp_t),
+        "weight_sum": img(res.weight_sum),
+        "i": img(res.num_steps.astype(jnp.float32)),
+        "div": img(div),
+        "sdf_value": img(f_warp),
+        "nx": img(si.n[..., 0]),
+        "ny": img(si.n[..., 1]),
+        "nz": img(si.n[..., 2]),
+        "warp_t_dx": img(res.warp_t_d[..., 0]),
+        "warp_t_dy": img(res.warp_t_d[..., 1]),
+        "warp_t_dz": img(res.warp_t_d[..., 2]),
+    }
 
 
 def render_chunked(scene, view_idx=0, seed=0, cfg: RenderConfig = RenderConfig(), mode="primal", camera=None, n_chunks: int = 1):

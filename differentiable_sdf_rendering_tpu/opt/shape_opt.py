@@ -46,7 +46,7 @@ from .opt_configs import SdfConfig
 from .regularizations import discrete_laplacian_reg
 from .variables import SdfVariableSpec, VolumeVariableSpec, ema_update
 
-__all__ = ["optimize_shape", "render_reference_images", "OptimizationResult"]
+__all__ = ["optimize_shape", "render_reference_images", "load_checkpoint", "OptimizationResult"]
 
 _LOSSES = {
     "l1": losses_mod.l1,
@@ -180,6 +180,33 @@ def _train_step(
     return new_params, new_state, new_ema, total_loss
 
 
+def load_checkpoint(output_dir: str, iteration, specs):
+    """Restore saved parameters (reference opt_configs.py:68-79 +
+    util.py:202-216 checkpoint discovery).  ``iteration`` may be an int or
+    'final'."""
+    import glob
+
+    from ..utils.io import read_vol
+
+    params = {}
+    pdir = os.path.join(output_dir, "params")
+    for s in specs:
+        if isinstance(iteration, int):
+            path = os.path.join(pdir, f"{s.key}-data-{iteration:04d}.vol")
+        else:
+            path = os.path.join(pdir, f"{s.key}-{iteration}.vol")
+        if not os.path.exists(path):
+            cands = sorted(glob.glob(os.path.join(pdir, f"{s.key}-*.vol")))
+            if not cands:
+                raise FileNotFoundError(f"no checkpoint for '{s.key}' in {pdir}")
+            path = cands[-1]
+        data = read_vol(path)
+        if data.shape[-1] == 1 and s.key == "sdf":
+            data = data[..., 0]
+        params[s.key] = jnp.asarray(data)
+    return params
+
+
 def optimize_shape(
     scene_name: str,
     opt_cfg: SdfConfig,
@@ -191,6 +218,7 @@ def optimize_shape(
     n_iter: int | None = None,
     verbose: bool = True,
     checkpoint_cb=None,
+    resume_from=None,
 ) -> OptimizationResult:
     """Run a full reconstruction (reference shape_opt.py:32-132 +
     optimize.py: reference rendering happens here from the target SDF)."""
@@ -212,8 +240,12 @@ def optimize_shape(
     )
     refs_pyramid = render_reference_images(target_scene, opt_cfg, ref_spp, ref_cfg)
 
-    # ---- initial parameters ----
-    params = {s.key: s.initialize() for s in specs}
+    # ---- initial parameters (or checkpoint restore) ----
+    if resume_from is not None:
+        assert output_dir, "resume requires an output_dir"
+        params = load_checkpoint(output_dir, resume_from, specs)
+    else:
+        params = {s.key: s.initialize() for s in specs}
     adam_state = adam_init(params)
     ema = {k: params[k] for k in params}
     loss_values = []
@@ -239,7 +271,8 @@ def optimize_shape(
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
 
-    for i in range(n_iter):
+    start_iter = (resume_from + 1) if isinstance(resume_from, int) else 0
+    for i in range(start_iter, n_iter):
         # --- phase bookkeeping: film res + grid upsampling (outside jit) ---
         res = opt_cfg.res_at(i)
         cams = _make_cameras(opt_cfg, res[0], res[1])
