@@ -56,6 +56,28 @@ _LOSSES = {
 }
 
 
+def _write_loss_plot(loss_values, output_dir):
+    """Loss curve PNG/PDF (reference shape_opt.py:106-117)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        plt.plot(np.arange(len(loss_values)), loss_values)
+        plt.xlabel("Iterations")
+        plt.ylabel("Objective function value")
+        if loss_values:
+            avg = float(np.mean(np.asarray(loss_values)[-5:]))
+            plt.title(f"Final loss: {100 * loss_values[-1]:.3f} (avg. over 5 its: {100 * avg:.3f})")
+        plt.savefig(os.path.join(output_dir, "loss.pdf"))
+        plt.savefig(os.path.join(output_dir, "loss.png"))
+        plt.close()
+    except Exception as e:  # plotting is best-effort
+        print("loss plot skipped:", e)
+
+
 @dataclasses.dataclass
 class OptimizationResult:
     params: dict
@@ -272,80 +294,85 @@ def optimize_shape(
         os.makedirs(output_dir, exist_ok=True)
 
     start_iter = (resume_from + 1) if isinstance(resume_from, int) else 0
-    for i in range(start_iter, n_iter):
-        # --- phase bookkeeping: film res + grid upsampling (outside jit) ---
-        res = opt_cfg.res_at(i)
-        cams = _make_cameras(opt_cfg, res[0], res[1])
-        base = Scene(
-            sdf=GridSDF.create(jnp.zeros_like(params["sdf"])), bsdf=bsdf, emitter=emitter, cameras=cams
-        )
-        for s in specs:
-            if s.upsample_iter and i in s.upsample_iter:
-                up = upsample_sdf if isinstance(s, SdfVariableSpec) else upsample_volume
-                params[s.key] = up(params[s.key])
-                # Adam state resets on shape change (mi.ad.Adam behavior)
-                sub = adam_init({s.key: params[s.key]})
-                adam_state["m"][s.key] = sub["m"][s.key]
-                adam_state["v"][s.key] = sub["v"][s.key]
-                params[s.key] = s.validate(params[s.key], -1)
+    try:
+        for i in range(start_iter, n_iter):
+            # --- phase bookkeeping: film res + grid upsampling (outside jit) ---
+            res = opt_cfg.res_at(i)
+            cams = _make_cameras(opt_cfg, res[0], res[1])
+            base = Scene(
+                sdf=GridSDF.create(jnp.zeros_like(params["sdf"])), bsdf=bsdf, emitter=emitter, cameras=cams
+            )
+            for s in specs:
+                if s.upsample_iter and i in s.upsample_iter:
+                    up = upsample_sdf if isinstance(s, SdfVariableSpec) else upsample_volume
+                    params[s.key] = up(params[s.key])
+                    # Adam state resets on shape change (mi.ad.Adam behavior)
+                    sub = adam_init({s.key: params[s.key]})
+                    adam_state["m"][s.key] = sub["m"][s.key]
+                    adam_state["v"][s.key] = sub["v"][s.key]
+                    params[s.key] = s.validate(params[s.key], -1)
 
-        view_indices = jnp.asarray(opt_cfg.sensor_indices(i), jnp.int32)
-        batch = len(view_indices)
-        seeds = []
-        seeds_grad = []
-        for _ in range(batch):
-            seeds.append(seed)
-            seeds_grad.append(seed + 1 + opt_cfg.n_sensors)
-            seed += 1 + opt_cfg.n_sensors
-        refs = refs_pyramid[res][view_indices]
+            view_indices = jnp.asarray(opt_cfg.sensor_indices(i), jnp.int32)
+            batch = len(view_indices)
+            seeds = []
+            seeds_grad = []
+            for _ in range(batch):
+                seeds.append(seed)
+                seeds_grad.append(seed + 1 + opt_cfg.n_sensors)
+                seed += 1 + opt_cfg.n_sensors
+            refs = refs_pyramid[res][view_indices]
 
-        lrs = {}
-        for s in specs:
-            if isinstance(s, SdfVariableSpec):
-                lrs[s.key] = s.lr_for(method_cfg.learning_rate, i, params[s.key].shape[0])
-            else:
-                lrs[s.key] = s.lr_for(method_cfg.learning_rate, i)
+            lrs = {}
+            for s in specs:
+                if isinstance(s, SdfVariableSpec):
+                    lrs[s.key] = s.lr_for(method_cfg.learning_rate, i, params[s.key].shape[0])
+                else:
+                    lrs[s.key] = s.lr_for(method_cfg.learning_rate, i)
 
-        base_leaves, base_treedef = jax.tree_util.tree_flatten(base)
-        params, adam_state, ema, loss = _train_step(
-            params,
-            adam_state,
-            ema,
-            tuple(base_leaves),
-            view_indices,
-            jnp.asarray(seeds),
-            jnp.asarray(seeds_grad),
-            refs,
-            lrs,
-            loss_name=opt_cfg.loss,
-            cfg_primal=cfg_primal,
-            cfg_grad=cfg_grad,
-            batch=batch,
-            specs=specs,
-            base_treedef=base_treedef,
-        )
-        loss_values.append(float(loss))
-        if verbose and (i % 8 == 0 or i == n_iter - 1):
-            print(f"[{i:4d}] loss = {loss_values[-1]:.5f}  res={res}  sdf={params['sdf'].shape}")
+            base_leaves, base_treedef = jax.tree_util.tree_flatten(base)
+            params, adam_state, ema, loss = _train_step(
+                params,
+                adam_state,
+                ema,
+                tuple(base_leaves),
+                view_indices,
+                jnp.asarray(seeds),
+                jnp.asarray(seeds_grad),
+                refs,
+                lrs,
+                loss_name=opt_cfg.loss,
+                cfg_primal=cfg_primal,
+                cfg_grad=cfg_grad,
+                batch=batch,
+                specs=specs,
+                base_treedef=base_treedef,
+            )
+            loss_values.append(float(loss))
+            if verbose and (i % 8 == 0 or i == n_iter - 1):
+                print(f"[{i:4d}] loss = {loss_values[-1]:.5f}  res={res}  sdf={params['sdf'].shape}")
 
-        if output_dir and (i % opt_cfg.checkpoint_frequency == 0 or i == n_iter - 1):
-            from ..utils.io import write_vol
+            if output_dir and (i % opt_cfg.checkpoint_frequency == 0 or i == n_iter - 1):
+                from ..utils.io import write_vol
+
+                for s in specs:
+                    write_vol(os.path.join(output_dir, "params", f"{s.key}-data-{i:04d}.vol"), np.asarray(params[s.key]))
+            if checkpoint_cb is not None:
+                checkpoint_cb(i, params, loss_values)
+
+    finally:
+        # Always record what we have — the reference's try/finally loss
+        # plot + metadata dump (shape_opt.py:73,106-119)
+        total_time = time.time() - t_start
+        if output_dir:
+            from ..utils.io import dump_metadata, write_vol
 
             for s in specs:
-                write_vol(os.path.join(output_dir, "params", f"{s.key}-data-{i:04d}.vol"), np.asarray(params[s.key]))
-        if checkpoint_cb is not None:
-            checkpoint_cb(i, params, loss_values)
-
-    total_time = time.time() - t_start
-    if output_dir:
-        from ..utils.io import dump_metadata, write_vol
-
-        for s in specs:
-            write_vol(os.path.join(output_dir, "params", f"{s.key}-final.vol"), np.asarray(ema[s.key]))
-        dump_metadata(
-            method_cfg, opt_cfg, {"total_time": total_time, "loss_values": loss_values},
-            os.path.join(output_dir, "metadata.json"),
-        )
+                write_vol(os.path.join(output_dir, "params", f"{s.key}-final.vol"), np.asarray(ema[s.key]))
+            dump_metadata(
+                method_cfg, opt_cfg, {"total_time": total_time, "loss_values": loss_values},
+                os.path.join(output_dir, "metadata.json"),
+            )
+            _write_loss_plot(loss_values, output_dir)
     final_scene = _build_scene(
         Scene(sdf=GridSDF.create(params["sdf"]), bsdf=bsdf, emitter=emitter, cameras=cams_full), params
     )

@@ -16,17 +16,26 @@ import jax
 __all__ = ["device_time", "Timer", "trace"]
 
 
+def _force(out):
+    """Force completion: on the remote-TPU (axon) platform
+    ``block_until_ready`` can return before execution finishes, so fetch a
+    small reduction of the first leaf."""
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf))
+    return out
+
+
 def device_time(fn, *args, n_runs: int = 5, warmup: int = 1, **kwargs):
     """Mean device execution time of ``fn(*args)`` (seconds), with compile
     excluded via warmup runs — the role of kernel-history 'execution_time'."""
     for _ in range(warmup):
-        out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        out = _force(fn(*args, **kwargs))
     times = []
     for _ in range(n_runs):
         t0 = time.perf_counter()
-        out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        out = _force(fn(*args, **kwargs))
         times.append(time.perf_counter() - t0)
     return sum(times) / len(times), out
 
