@@ -98,8 +98,12 @@ def test_end_to_end_reconstruction_loss_decreases():
     oc.upsample_iter = ()
     oc.use_multiscale_rendering = False
     res = optimize_shape(
-        "block", oc, mc, output_dir=None, ref_spp=16, n_iter=8, target_res=32, verbose=False
+        "block", oc, mc, output_dir=None, ref_spp=16, n_iter=24, target_res=32, verbose=False
     )
-    losses_arr = res.loss_values
+    losses_arr = np.asarray(res.loss_values)
     assert np.isfinite(losses_arr).all()
-    assert losses_arr[-1] < losses_arr[0] * 0.9, losses_arr
+    # Adam steps every voxel by ±lr, so the loss may spike in the first few
+    # iterations (as in the reference); it must come down over the run.
+    tail = losses_arr[-4:].mean()
+    assert tail < losses_arr[0] * 0.9, losses_arr
+    assert tail < losses_arr.max() * 0.6, losses_arr
