@@ -34,7 +34,28 @@ __all__ = [
     "grid_eval_grad",
     "grid_eval_all",
     "grid_eval_trilinear",
+    "pad_amount",
+    "pad_grid",
 ]
+
+
+def pad_amount(res: int) -> int:
+    """Edge padding that makes every tap of any bbox-interior query in-range.
+
+    Queries come from points within the expanded bbox (±0.05 beyond the unit
+    cube, ``TraceParams.bbox_expand``), i.e. continuous coords within
+    ~0.05·res+1 voxels outside the grid; +4 guards the all-clamped case."""
+    return int(0.06 * res) + 5
+
+
+def pad_grid(data: jnp.ndarray) -> jnp.ndarray:
+    """Edge-replicate pad so that ``padded[j] == data[clip(j - pf, 0, n-1)]``
+    — the padded array *is* the clamped lookup table, enabling contiguous
+    4-wide x-fetches instead of 64 scalar gathers (see ``_tap_setup``)."""
+    pz = pad_amount(data.shape[-3])
+    py = pad_amount(data.shape[-2])
+    px = pad_amount(data.shape[-1])
+    return jnp.pad(data, ((pz, pz), (py, py), (px, px)), mode="edge")
 
 
 def bspline_weights(f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -74,8 +95,13 @@ def bspline_weights(f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarr
     return w, dw, ddw
 
 
-def _tap_setup(data: jnp.ndarray, p: jnp.ndarray):
-    """Compute tap values (..., 4z, 4y, 4x) and per-axis fractions."""
+def _tap_setup(data: jnp.ndarray, p: jnp.ndarray, padded: jnp.ndarray | None = None):
+    """Compute tap values (..., 4z, 4y, 4x) and per-axis fractions.
+
+    With ``padded`` (from :func:`pad_grid`) the x-taps are fetched as one
+    contiguous 4-wide ``lax.gather`` row per (z, y) pair — 16 gather rows
+    instead of 64 scalar gathers, exactly equivalent to the clamped path.
+    """
     zres, yres, xres = data.shape[-3], data.shape[-2], data.shape[-1]
     res = jnp.asarray([xres, yres, zres], dtype=p.dtype)
     c = p * res - 0.5
@@ -83,23 +109,59 @@ def _tap_setup(data: jnp.ndarray, p: jnp.ndarray):
     f = c - base
     base = base.astype(jnp.int32)
 
-    offs = jnp.arange(-1, 3, dtype=jnp.int32)
-    ix = jnp.clip(base[..., 0:1] + offs, 0, xres - 1)  # (..., 4)
-    iy = jnp.clip(base[..., 1:2] + offs, 0, yres - 1)
-    iz = jnp.clip(base[..., 2:3] + offs, 0, zres - 1)
+    if padded is None:
+        offs = jnp.arange(-1, 3, dtype=jnp.int32)
+        ix = jnp.clip(base[..., 0:1] + offs, 0, xres - 1)  # (..., 4)
+        iy = jnp.clip(base[..., 1:2] + offs, 0, yres - 1)
+        iz = jnp.clip(base[..., 2:3] + offs, 0, zres - 1)
+        lin = (
+            iz[..., :, None, None] * (yres * xres)
+            + iy[..., None, :, None] * xres
+            + ix[..., None, None, :]
+        )  # (..., 4, 4, 4)
+        taps = jnp.take(data.reshape(-1), lin, axis=0)
+        return taps, f, res
 
-    lin = (
-        iz[..., :, None, None] * (yres * xres)
-        + iy[..., None, :, None] * xres
-        + ix[..., None, None, :]
-    )  # (..., 4, 4, 4)
-    taps = jnp.take(data.reshape(-1), lin, axis=0)
+    pz, py, px = pad_amount(zres), pad_amount(yres), pad_amount(xres)
+    offs = jnp.arange(-1, 3, dtype=jnp.int32)
+    # clip into the padded table; all four taps stay in-range by construction
+    iz = jnp.clip(base[..., 2:3] + offs + pz, 0, padded.shape[-3] - 1)  # (..., 4)
+    iy = jnp.clip(base[..., 1:2] + offs + py, 0, padded.shape[-2] - 1)
+    x0 = jnp.clip(base[..., 0] - 1 + px, 0, padded.shape[-1] - 4)       # (...,)
+
+    batch = p.shape[:-1]
+    flatn = 1
+    for s in batch:
+        flatn *= s
+    izf = iz.reshape(flatn, 4)
+    iyf = iy.reshape(flatn, 4)
+    x0f = x0.reshape(flatn)
+    starts = jnp.concatenate(
+        [
+            jnp.broadcast_to(izf[:, :, None, None], (flatn, 4, 4, 1)),
+            jnp.broadcast_to(iyf[:, None, :, None], (flatn, 4, 4, 1)),
+            jnp.broadcast_to(x0f[:, None, None, None], (flatn, 4, 4, 1)),
+        ],
+        axis=-1,
+    ).reshape(flatn * 16, 3)
+    rows = jax.lax.gather(
+        padded,
+        starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,),
+            collapsed_slice_dims=(0, 1),
+            start_index_map=(0, 1, 2),
+        ),
+        slice_sizes=(1, 1, 4),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (flatn*16, 4)
+    taps = rows.reshape(batch + (4, 4, 4))
     return taps, f, res
 
 
-def grid_eval(data: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+def grid_eval(data: jnp.ndarray, p: jnp.ndarray, padded: jnp.ndarray | None = None) -> jnp.ndarray:
     """Cubic B-spline value at points ``p`` (..., 3) → (...,)."""
-    taps, f, _ = _tap_setup(data, p)
+    taps, f, _ = _tap_setup(data, p, padded)
     wx, _, _ = bspline_weights(f[..., 0])
     wy, _, _ = bspline_weights(f[..., 1])
     wz, _, _ = bspline_weights(f[..., 2])
@@ -108,9 +170,9 @@ def grid_eval(data: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...z,...z->...", t, wz, precision=_HI)
 
 
-def grid_eval_grad(data: jnp.ndarray, p: jnp.ndarray):
+def grid_eval_grad(data: jnp.ndarray, p: jnp.ndarray, padded: jnp.ndarray | None = None):
     """Value and spatial gradient → ``(value (...,), grad (..., 3))``."""
-    taps, f, res = _tap_setup(data, p)
+    taps, f, res = _tap_setup(data, p, padded)
     wx, dwx, _ = bspline_weights(f[..., 0])
     wy, dwy, _ = bspline_weights(f[..., 1])
     wz, dwz, _ = bspline_weights(f[..., 2])
@@ -134,13 +196,13 @@ def grid_eval_grad(data: jnp.ndarray, p: jnp.ndarray):
     return value, grad
 
 
-def grid_eval_all(data: jnp.ndarray, p: jnp.ndarray):
+def grid_eval_all(data: jnp.ndarray, p: jnp.ndarray, padded: jnp.ndarray | None = None):
     """Full derivative jet: ``(value (...,), grad (..., 3), hess (..., 3, 3))``.
 
     Equivalent of the reference's ``texture.eval_cubic_hessian``
     (``/root/reference/python/shapes.py:438-450``) in one fused pass.
     """
-    taps, f, res = _tap_setup(data, p)
+    taps, f, res = _tap_setup(data, p, padded)
     wx, dwx, ddwx = bspline_weights(f[..., 0])
     wy, dwy, ddwy = bspline_weights(f[..., 1])
     wz, dwz, ddwz = bspline_weights(f[..., 2])

@@ -59,6 +59,7 @@ class GridSDF:
 
     data: jnp.ndarray
     p: jnp.ndarray
+    padded: jnp.ndarray | None = None  # pad_grid(data) cache (see prepare())
 
     @classmethod
     def create(cls, data, p=None):
@@ -69,22 +70,27 @@ class GridSDF:
             p = jnp.zeros((3,), jnp.float32)
         return cls(data=data, p=jnp.asarray(p, jnp.float32))
 
+    def prepare(self):
+        """Cache the edge-padded grid for contiguous-fetch interpolation
+        (hoisted out of trace loops; gradients flow data → padded → taps)."""
+        return self.replace(padded=gridops.pad_grid(self.data))
+
     @property
     def resolution(self):
         return self.data.shape
 
     def eval(self, x):
-        return gridops.grid_eval(self.data, x - self.p)
+        return gridops.grid_eval(self.data, x - self.p, self.padded)
 
     def eval_and_grad(self, x):
-        return gridops.grid_eval_grad(self.data, x - self.p)
+        return gridops.grid_eval_grad(self.data, x - self.p, self.padded)
 
     def eval_grad(self, x):
-        return gridops.grid_eval_grad(self.data, x - self.p)[1]
+        return gridops.grid_eval_grad(self.data, x - self.p, self.padded)[1]
 
     def eval_all(self, x):
         """(value, grad, hessian) jet — reference ``eval_all`` shapes.py:438."""
-        return gridops.grid_eval_all(self.data, x - self.p)
+        return gridops.grid_eval_all(self.data, x - self.p, self.padded)
 
     def bbox(self, expand: float = 0.05):
         p = jax.lax.stop_gradient(self.p)

@@ -93,3 +93,45 @@ def test_trilinear_matches_data_at_centers(random_grid):
     np.testing.assert_allclose(
         np.asarray(v), np.asarray(random_grid).ravel(), atol=1e-6
     )
+
+
+def test_padded_path_matches_clamped(random_grid):
+    """The contiguous-fetch (padded) interpolation path is exactly the
+    clamped path, including far-outside queries."""
+    from differentiable_sdf_rendering_tpu.ops.grid import pad_grid
+
+    padded = pad_grid(random_grid)
+    p = jnp.concatenate(
+        [
+            jax.random.uniform(jax.random.PRNGKey(9), (64, 3), minval=-0.2, maxval=1.2),
+            jnp.asarray([[-3.0, 0.5, 0.5], [0.5, 4.0, 0.5], [2.5, -1.0, 3.0]]),
+        ]
+    )
+    v0, g0, h0 = gridops.grid_eval_all(random_grid, p)
+    v1, g1, h1 = gridops.grid_eval_all(random_grid, p, padded)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-4)
+
+    # gradients w.r.t. the grid agree through the pad
+    def loss(data, use_pad):
+        pp = pad_grid(data) if use_pad else None
+        return jnp.sum(jnp.sin(3.0 * gridops.grid_eval(data, p, pp)))
+
+    ga = jax.grad(loss)(random_grid, False)
+    gb = jax.grad(loss)(random_grid, True)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
+
+
+def test_prepared_sdf_render_identical():
+    from differentiable_sdf_rendering_tpu.models.camera import regular_cameras
+    from differentiable_sdf_rendering_tpu.models.integrator import RenderConfig, render
+    from differentiable_sdf_rendering_tpu.models.scene import Scene
+    from differentiable_sdf_rendering_tpu.ops.initializers import create_sphere_sdf
+
+    scene = Scene.create(create_sphere_sdf(16, radius=0.3), cameras=regular_cameras(2, resx=16, resy=16))
+    scene_prep = scene.replace(sdf=scene.sdf.prepare())
+    cfg = RenderConfig(spp=2)
+    a = np.asarray(render(scene, 0, seed=0, cfg=cfg))
+    b = np.asarray(render(scene_prep, 0, seed=0, cfg=cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
