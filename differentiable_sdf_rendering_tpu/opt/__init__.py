@@ -1,3 +1,3 @@
 """Optimization layer: variables, losses, regularizers, configs, training."""
 
-from . import adam, configs, losses, opt_configs, regularizations, shape_opt, variables  # noqa: F401
+from . import adam, configs, losses, multi_scene, opt_configs, regularizations, shape_opt, validation, variables  # noqa: F401

@@ -153,25 +153,34 @@ def _train_step(
     loss_fn = _LOSSES[loss_name]
     spec_by_key = {s.key: s for s in specs}
 
-    def one_view(params, j):
-        cam = base.cameras.view(view_indices[j])
+    def one_view(vidx, seed_p, seed_g, ref):
+        cam = base.cameras.view(vidx)
         scene_det = _build_scene(jax.lax.stop_gradient(base), jax.lax.stop_gradient(params))
-        img_p = render(scene_det, seed=seeds[j], cfg=cfg_primal, mode="primal", camera=cam)[..., :3]
-        lval, dimg = jax.value_and_grad(lambda im: loss_fn(im, refs[j]) / batch)(img_p)
+        img_p = render(scene_det, seed=seed_p, cfg=cfg_primal, mode="primal", camera=cam)[..., :3]
+        lval, dimg = jax.value_and_grad(lambda im: loss_fn(im, ref) / batch)(img_p)
 
         def rfun(p):
-            return render(_build_scene(base, p), seed=seeds_grad[j], cfg=cfg_grad, mode="grad", camera=cam)[..., :3]
+            return render(_build_scene(base, p), seed=seed_g, cfg=cfg_grad, mode="grad", camera=cam)[..., :3]
 
         _, vjp = jax.vjp(rfun, params)
         (gp,) = vjp(dimg)
         return lval, gp
 
-    total_loss = jnp.zeros(())
-    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
-    for j in range(batch):
-        lval, gp = one_view(params, j)
-        total_loss = total_loss + lval
-        grads = jax.tree_util.tree_map(jnp.add, grads, gp)
+    # The view batch is a lax.scan with a rematerialized body: ONE copy of
+    # the render+vjp program regardless of batch size (the reference
+    # re-dispatches per sensor, shape_opt.py:77-86; here the scan keeps
+    # compile time and live memory independent of the batch).
+    @jax.checkpoint
+    def view_body(carry, xs):
+        loss_acc, grads_acc = carry
+        vidx, seed_p, seed_g, ref = xs
+        lval, gp = one_view(vidx, seed_p, seed_g, ref)
+        return (loss_acc + lval, jax.tree_util.tree_map(jnp.add, grads_acc, gp)), None
+
+    init = (jnp.zeros(()), jax.tree_util.tree_map(jnp.zeros_like, params))
+    (total_loss, grads), _ = jax.lax.scan(
+        view_body, init, (view_indices, seeds, seeds_grad, refs)
+    )
 
     # Laplacian regularizer on the SDF (shape_opt.py:89-92)
     sdf_spec: SdfVariableSpec = spec_by_key["sdf"]
@@ -241,6 +250,7 @@ def optimize_shape(
     verbose: bool = True,
     checkpoint_cb=None,
     resume_from=None,
+    write_images: bool = False,
 ) -> OptimizationResult:
     """Run a full reconstruction (reference shape_opt.py:32-132 +
     optimize.py: reference rendering happens here from the target SDF)."""
@@ -271,6 +281,7 @@ def optimize_shape(
     adam_state = adam_init(params)
     ema = {k: params[k] for k in params}
     loss_values = []
+    opt_frames = {}
     seed = 0
 
     from ..ops.warp_conv import ConvWarpConfig
@@ -356,6 +367,17 @@ def optimize_shape(
 
                 for s in specs:
                     write_vol(os.path.join(output_dir, "params", f"{s.key}-data-{i:04d}.vol"), np.asarray(params[s.key]))
+                if write_images:
+                    from ..utils.io import write_png
+
+                    cur = _build_scene(base, params)
+                    for vi in range(min(opt_cfg.n_sensors, 6)):
+                        img = render(cur, seed=i, cfg=dataclasses.replace(cfg_grad, spp=min(cfg_grad.spp, 16)), mode="primal", camera=cams.view(vi))
+                        write_png(
+                            os.path.join(output_dir, "opt", f"opt-{i:04d}-{vi:02d}.png"),
+                            np.asarray(img[..., :3]),
+                        )
+                        opt_frames.setdefault(i, []).append(np.asarray(img[..., :3]))
             if checkpoint_cb is not None:
                 checkpoint_cb(i, params, loss_values)
 

@@ -107,3 +107,56 @@ def test_end_to_end_reconstruction_loss_decreases():
     tail = losses_arr[-4:].mean()
     assert tail < losses_arr[0] * 0.9, losses_arr
     assert tail < losses_arr.max() * 0.6, losses_arr
+
+
+@pytest.mark.slow
+def test_texture_joint_optimization_runs():
+    """diffuse-6-style joint SDF+albedo optimization: runs, finite, albedo
+    moves toward the target color."""
+    from differentiable_sdf_rendering_tpu.opt.shape_opt import optimize_shape
+
+    mc = get_config("warp")
+    mc.spp = 4
+    mc.primal_spp_mult = 2
+    oc, _ = get_opt_config("diffuse-6")
+    oc.resx = oc.resy = 24
+    oc.sdf_res = 16
+    oc.upsample_iter = ()
+    oc.tex_upsample_iter = (4,)
+    oc.use_multiscale_rendering = False
+    oc.n_sensors = 3
+    oc.batch_size = 3
+    res = optimize_shape(
+        "sphere", oc, mc, output_dir=None, ref_spp=16, n_iter=10, target_res=32, verbose=False
+    )
+    assert "albedo" in res.params
+    a = np.asarray(res.params["albedo"])
+    assert np.isfinite(a).all()
+    assert a.shape[-1] == 3
+    # values clamped to [1e-5, 1]
+    assert a.min() >= 1e-5 - 1e-7 and a.max() <= 1.0 + 1e-7
+    # albedo actually changed from its 0.5 init
+    assert np.abs(a - 0.5).max() > 1e-3
+
+
+@pytest.mark.slow
+def test_multi_scene_batched():
+    """vmapped multi-scene optimization advances several reconstructions in
+    one program; all curves finite."""
+    from differentiable_sdf_rendering_tpu.opt.multi_scene import optimize_shapes_batched
+
+    mc = get_config("warp")
+    mc.spp = 2
+    mc.primal_spp_mult = 2
+    oc, _ = get_opt_config("no-tex-3")
+    oc.resx = oc.resy = 16
+    oc.sdf_res = 8
+    oc.upsample_iter = ()
+    oc.use_multiscale_rendering = False
+    out = optimize_shapes_batched(
+        ["sphere", "block"], oc, mc, n_iter=4, ref_spp=8, target_res=16, verbose=False
+    )
+    assert set(out) == {"sphere", "block"}
+    for name, (grid, curve) in out.items():
+        assert np.isfinite(np.asarray(grid)).all()
+        assert np.isfinite(curve).all()
