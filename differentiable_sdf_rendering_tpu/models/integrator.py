@@ -145,6 +145,12 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     si_p_det = jax.lax.stop_gradient(si.p)
     if cfg.detach_indirect_si:
         shadow_o = si_p_det
+    elif cfg.decouple_reparam:
+        # spawn from the interaction of the *unreparameterized* ray
+        # (sdf_direct_reparam.py:46-47 'si_d0'): p attached through the
+        # implicit depth but not through the warped direction
+        si_d0 = compute_surface_interaction(scene.sdf, o, d, its_t, differentiable=reparametrize)
+        shadow_o = si_d0.p
     else:
         shadow_o = si.p  # attached: nested-reparam (sdf_direct_reparam.py:49)
     shadow_o = shadow_o + ds_d * cfg.shadow_eps

@@ -28,9 +28,11 @@ def adam_init(params: dict) -> dict:
     }
 
 
-def adam_step(params: dict, grads: dict, state: dict, lr: dict):
+def adam_step(params: dict, grads: dict, state: dict, lr: dict, mask_updates: bool = False):
     """One Adam update.  ``lr`` maps each top-level key of ``params`` to a
-    scalar learning rate (traced — schedules don't retrigger compilation)."""
+    scalar learning rate (traced — schedules don't retrigger compilation).
+    ``mask_updates`` reproduces ``mi.ad.Adam(mask_updates=True)``: state and
+    parameters only move where the gradient is non-zero."""
     t = state["t"] + 1
     tf = t.astype(jnp.float32)
     c1 = 1.0 - _BETA1 ** tf
@@ -41,7 +43,13 @@ def adam_step(params: dict, grads: dict, state: dict, lr: dict):
         def upd(p, g, m, v):
             m2 = _BETA1 * m + (1.0 - _BETA1) * g
             v2 = _BETA2 * v + (1.0 - _BETA2) * g * g
+            if mask_updates:
+                nz = g != 0
+                m2 = jnp.where(nz, m2, m)
+                v2 = jnp.where(nz, v2, v)
             step = lr[k] * (m2 / c1) / (jnp.sqrt(v2 / c2) + _EPS)
+            if mask_updates:
+                step = jnp.where(g != 0, step, 0.0)
             return p - step, m2, v2
 
         out = jax.tree_util.tree_map(upd, params[k], grads[k], state["m"][k], state["v"][k])

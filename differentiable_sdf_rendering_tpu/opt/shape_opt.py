@@ -130,7 +130,7 @@ def render_reference_images(scene: Scene, opt_cfg: SdfConfig, ref_spp: int = 512
     return refs
 
 
-@functools.partial(jax.jit, static_argnames=("loss_name", "cfg_primal", "cfg_grad", "batch", "specs", "base_treedef"))
+@functools.partial(jax.jit, static_argnames=("loss_name", "cfg_primal", "cfg_grad", "batch", "specs", "base_treedef", "mask_updates"))
 def _train_step(
     params,
     adam_state,
@@ -148,6 +148,7 @@ def _train_step(
     cfg_grad: RenderConfig,
     batch: int,
     specs,
+    mask_updates: bool = False,
 ):
     base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
     loss_fn = _LOSSES[loss_name]
@@ -195,7 +196,7 @@ def _train_step(
     for k in grads:
         grads[k] = spec_by_key[k].validate_gradient(grads[k])
 
-    new_params, new_state = adam_step(params, grads, adam_state, lrs)
+    new_params, new_state = adam_step(params, grads, adam_state, lrs, mask_updates=mask_updates)
 
     # parameter validation: clamps + redistancing (upsampling happens
     # outside the jit at phase boundaries)
@@ -357,6 +358,7 @@ def optimize_shape(
                 batch=batch,
                 specs=specs,
                 base_treedef=base_treedef,
+                mask_updates=method_cfg.mask_optimizer,
             )
             loss_values.append(float(loss))
             if verbose and (i % 8 == 0 or i == n_iter - 1):
