@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Wall-clock per optimization iteration on dragon no-tex-12 (the
+BASELINE.json headline) at the reference's real configuration: 128² film,
+64³ SDF (pre-upsampling), batch 6 of 12 views, 256 primal + 64 grad spp.
+
+Runs a few iterations on the current JAX device and reports secs/iter
+excluding compile, plus the per-iteration ray throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    n_iter = int(os.environ.get("ITERS", "6"))
+    import jax
+
+    from differentiable_sdf_rendering_tpu.opt.configs import get_config
+    from differentiable_sdf_rendering_tpu.opt.opt_configs import get_opt_config
+    from differentiable_sdf_rendering_tpu.opt.shape_opt import optimize_shape
+
+    mc = get_config("warp")           # spp 64, primal_spp_mult 4 (reference defaults)
+    oc, _ = get_opt_config("no-tex-12")
+    times = []
+
+    def cb(i, params, losses):
+        times.append(time.perf_counter())
+
+    t0 = time.time()
+    res = optimize_shape(
+        "dragon", oc, mc, output_dir=None, ref_spp=int(os.environ.get("REF_SPP", "256")),
+        n_iter=n_iter, verbose=True, checkpoint_cb=cb,
+    )
+    steady = [t1 - t0_ for t0_, t1 in zip(times[1:-1], times[2:])]
+    per_iter = sum(steady) / max(len(steady), 1) if steady else float("nan")
+    # 6 views × (128+2b)² × (256 + 64) spp
+    rays = 6 * (128 + 4) ** 2 * (64 * 4 + 64)
+    print(json.dumps({
+        "metric": "wall-clock per opt iteration, dragon no-tex-12",
+        "value": round(per_iter, 3),
+        "unit": "s/iter",
+        "rays_per_iter": rays,
+        "rays_per_s": round(rays / per_iter, 1) if per_iter == per_iter else None,
+        "total_time": round(res.total_time, 1),
+        "n_iter": n_iter,
+        "platform": jax.devices()[0].platform,
+        "losses": [round(l, 5) for l in res.loss_values],
+    }))
+
+
+if __name__ == "__main__":
+    main()
