@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from ..ops.interaction import compute_surface_interaction
 from ..ops.sampling import mis_weight
 from ..ops.trace import sphere_trace
-from ..ops.vecmath import dot, normalize, replace_grad
+from ..ops.vecmath import normalize, replace_grad
 from ..ops.warp import reparameterize
 
 __all__ = ["sample_prb"]

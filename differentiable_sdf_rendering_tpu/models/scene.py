@@ -10,7 +10,6 @@ selecting leaves).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import struct
 
 from ..ops.sdf import GridSDF

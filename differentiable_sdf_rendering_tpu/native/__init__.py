@@ -138,8 +138,6 @@ def mesh_min_distance(verts: np.ndarray, tris: np.ndarray, points: np.ndarray) -
         lib.mesh_min_distance(verts.ravel(), len(verts), tris.ravel(), len(tris), points.ravel(), len(points), out)
         return out
     # numpy fallback: chunked exact point-triangle distance
-    from numpy.linalg import norm
-
     a, b, c = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
     for i in range(0, len(points), 256):
         p = points[i : i + 256, None, :]

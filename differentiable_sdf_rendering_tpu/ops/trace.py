@@ -30,8 +30,6 @@ Derivatives w.r.t. the ray direction are converted from spatial gradients via
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -31,7 +31,6 @@ from .sdf import TraceParams
 from .trace import TraceResult, sphere_trace_warp
 from .vecmath import (
     bbox_distance_inside_d,
-    dot,
     normalize,
     normalize_sqr_with_jac,
     outer,

@@ -22,7 +22,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .interaction import compute_surface_interaction, coordinate_frame
+from .interaction import coordinate_frame
 from .sampling import square_to_vmf, vmf_pdf
 from .sdf import TraceParams
 from .trace import sphere_trace

@@ -14,8 +14,6 @@ from __future__ import annotations
 import dataclasses
 import math
 
-import numpy as np
-
 from .configs import apply_cmdline_args
 from .variables import SdfVariableSpec, VolumeVariableSpec
 

@@ -44,7 +44,7 @@ from .adam import adam_init, adam_step
 from .configs import BaseConfig
 from .opt_configs import SdfConfig
 from .regularizations import discrete_laplacian_reg
-from .variables import SdfVariableSpec, VolumeVariableSpec, ema_update
+from .variables import SdfVariableSpec, ema_update
 
 __all__ = ["optimize_shape", "render_reference_images", "load_checkpoint", "OptimizationResult"]
 

@@ -22,7 +22,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..ops.initializers import create_sphere_sdf, upsample_sdf, upsample_volume, voxel_centers
+from ..ops.initializers import create_sphere_sdf, upsample_sdf, upsample_volume
 from ..ops.redistance import redistance
 from ..ops.sdf import BoxSDF
 from .adam import simple_lr_decay
