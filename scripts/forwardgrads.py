@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        from differentiable_sdf_rendering_tpu.utils.platform import force_cpu
+        force_cpu()
 
     import numpy as np
 

@@ -1,12 +1,9 @@
 import os, sys
 pid = int(sys.argv[1]); nproc = int(sys.argv[2])
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, "/root/repo")
+from differentiable_sdf_rendering_tpu.utils.platform import force_cpu
+force_cpu(virtual_devices=4)
 import jax
-from jax._src import xla_bridge as _xb
-for n in list(getattr(_xb, "_backend_factories", {})):
-    if n != "cpu": _xb._backend_factories.pop(n, None)
-jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address="127.0.0.1:9876", num_processes=nproc, process_id=pid)
 import jax.numpy as jnp
 import numpy as np
