@@ -161,23 +161,51 @@ def main():
 
 
 def _main_with_fallback():
-    try:
-        return main()
-    except Exception as e:  # chip OOM/crash: retry once at small scale
-        print(f"[bench] {os.environ.get('BENCH_SCALE', 'medium')} scale failed ({type(e).__name__}); retrying small", file=sys.stderr)
-        os.environ["BENCH_SCALE"] = "small"
+    """Watchdog driver: each scale runs in a subprocess with a hard timeout
+    (the remote TPU's compile helper has been observed to hang indefinitely
+    after worker crashes — see CLAUDE.md).  Falls back medium → small →
+    local CPU, so the unattended round-end run always emits ONE JSON line."""
+    import subprocess
+
+    ladder = [
+        (os.environ.get("BENCH_SCALE", "medium"), {}, 2400),
+        ("small", {}, 1200),
+        ("small", {"JAX_PLATFORMS": "cpu", "BENCH_LOCAL_CPU": "1"}, 1200),
+    ]
+    for scale, extra_env, tmo in ladder:
+        env = {**os.environ, "BENCH_SCALE": scale, "BENCH_CHILD": "1", **extra_env}
         try:
-            return main()
-        except Exception as e2:
-            print(json.dumps({
-                "metric": "rays/s/chip fwd+bwd sphere trace (Fig9a protocol)",
-                "value": 0.0,
-                "unit": "rays/s",
-                "vs_baseline": 0.0,
-                "detail": {"error": f"{type(e2).__name__}: {e2}"[:300]},
-            }))
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, timeout=tmo, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] scale={scale} env={list(extra_env)} timed out after {tmo}s", file=sys.stderr)
+            continue
+        line = next((ln for ln in r.stdout.splitlines() if ln.startswith("{")), None)
+        if r.returncode == 0 and line:
+            print(line)
             return 0
+        print(f"[bench] scale={scale} failed rc={r.returncode}: {r.stderr[-400:]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "rays/s/chip fwd+bwd sphere trace (Fig9a protocol)",
+        "value": 0.0,
+        "unit": "rays/s",
+        "vs_baseline": 0.0,
+        "detail": {"error": "all bench scales failed or timed out (TPU compile helper hang?)"},
+    }))
+    return 0
 
 
 if __name__ == "__main__":
+    if os.environ.get("BENCH_CHILD") == "1":
+        if os.environ.get("BENCH_LOCAL_CPU") == "1":
+            try:
+                from differentiable_sdf_rendering_tpu.utils.platform import force_cpu
+
+                force_cpu()
+            except Exception:
+                pass
+        sys.exit(main())
     sys.exit(_main_with_fallback())

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--spp", type=int, default=32)
     ap.add_argument("--fd-spp", type=int, default=2048)
     ap.add_argument("--axis", type=int, default=0)
+    ap.add_argument("--integrator", default="sdf_direct_reparam")
+    ap.add_argument("--n-seeds", type=int, default=4, help="AD gradient images averaged over seeds")
     ap.add_argument("--out", default="output/forwardgrads")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -46,9 +48,10 @@ def main():
         cameras=regular_cameras(2, resx=args.res, resy=args.res),
     )
     methods = {
-        "warp": RenderConfig(spp=args.spp),
-        "conv8": RenderConfig(spp=args.spp, warp_kind="conv", conv=ConvWarpConfig(n_aux_rays=8)),
-        "onlyshading": RenderConfig(spp=args.spp, use_warp=False),
+        "warp": RenderConfig(spp=args.spp, integrator=args.integrator),
+        "conv8": RenderConfig(spp=args.spp, integrator=args.integrator,
+                              warp_kind="conv", conv=ConvWarpConfig(n_aux_rays=8)),
+        "onlyshading": RenderConfig(spp=args.spp, integrator=args.integrator, use_warp=False),
     }
 
     os.makedirs(args.out, exist_ok=True)
@@ -60,8 +63,12 @@ def main():
     grads["fd"] = np.asarray(grad_fd)
     stats["fd"] = st
     for name, cfg in methods.items():
-        img, grad, st = eval_forward_gradient(scene, cfg, axis=args.axis, method="ad")
-        grads[name] = np.asarray(grad)
+        acc = None
+        for seed in range(args.n_seeds):
+            img, grad, st = eval_forward_gradient(scene, cfg, axis=args.axis, method="ad", seed=seed)
+            g = np.asarray(grad)
+            acc = g if acc is None else acc + g
+        grads[name] = acc / args.n_seeds
         stats[name] = st
         print(f"{name:12s} total_time={st['total_time']:.2f}s  |grad|₁={np.abs(grads[name]).mean():.4f}")
 
