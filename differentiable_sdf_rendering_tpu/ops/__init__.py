@@ -1,3 +1,3 @@
 """Compute kernels: interpolation, tracing, warping, redistancing, film."""
 
-from . import film, grid, initializers, interaction, redistance, sampling, sdf, trace, vecmath, warp  # noqa: F401
+from . import film, grid, initializers, interaction, pallas_redistance, redistance, sampling, sdf, sdf2d, trace, vecmath, warp, warp_conv  # noqa: F401

@@ -121,7 +121,7 @@ def _interface_init(phi: jnp.ndarray, h: tuple[float, float, float]):
     return dist, frozen
 
 
-def redistance(phi: jnp.ndarray, iterations: int | None = None) -> jnp.ndarray:
+def redistance(phi: jnp.ndarray, iterations: int | None = None, prefer_pallas: bool | None = None) -> jnp.ndarray:
     """Recompute a signed distance function with the same zero level set.
 
     Args:
@@ -129,10 +129,24 @@ def redistance(phi: jnp.ndarray, iterations: int | None = None) -> jnp.ndarray:
         not necessarily a distance).
       iterations: Jacobi-Godunov passes; defaults to ``max(res)`` which
         reaches the FSM fixed point everywhere in the grid.
+      prefer_pallas: use the VMEM-resident Pallas kernel
+        (:mod:`ops.pallas_redistance`). ``None`` = auto: on the TPU backend
+        for supported (≤96³ cubic) grids.
 
     Returns:
       Signed distance grid of the same shape/dtype.
     """
+    shape3 = phi.shape[:3] if phi.ndim == 4 else phi.shape
+    if prefer_pallas is None:
+        prefer_pallas = (
+            jax.default_backend() == "tpu"
+            and len(set(shape3)) == 1
+        )
+    if prefer_pallas:
+        from .pallas_redistance import pallas_supported, redistance_pallas
+
+        if pallas_supported(shape3) and len(set(shape3)) == 1:
+            return redistance_pallas(phi, iterations=iterations)
     squeeze = phi.ndim == 4
     if squeeze:
         phi = phi[..., 0]

@@ -24,12 +24,8 @@ def force_cpu(virtual_devices: int | None = None):
             ).strip()
     import jax
 
-    try:
-        from jax._src import xla_bridge as _xb
-
-        for name in list(getattr(_xb, "_backend_factories", {})):
-            if name != "cpu":
-                _xb._backend_factories.pop(name, None)
-    except Exception:
-        pass
+    # Pin the platform (works even though sitecustomize already imported
+    # jax, as long as no backend has initialized).  Keep backend factories
+    # registered: dropping the axon factory unregisters the 'tpu' MLIR
+    # platform and breaks jax.experimental.pallas imports.
     jax.config.update("jax_platforms", "cpu")

@@ -2,13 +2,18 @@
 
 Multi-chip sharding is validated on host CPU devices
 (``xla_force_host_platform_device_count``); the real TPU chip is used by
-``bench.py`` only.  Must run before the first ``import jax``.
+``bench.py`` only.  Must run before the first backend initializes.
+
+The image's ``sitecustomize`` pre-imports jax pinned to the remote-TPU
+('axon') platform; pinning ``jax_platforms`` to cpu *before any backend
+initializes* routes both execution and compilation locally.  (We keep the
+axon backend factory registered — dropping it would unregister the 'tpu'
+MLIR platform and break ``jax.experimental.pallas`` imports, which the
+Pallas-kernel tests need in interpret mode.)
 """
 
 import os
 
-# The environment pins JAX_PLATFORMS=axon (remote TPU tunnel) via
-# sitecustomize; tests must run locally on the virtual CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,18 +22,6 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
-
-# sitecustomize registers the remote-TPU ("axon") PJRT plugin in every
-# process; its remote-compile relay slows even CPU-backend tests by ~10x.
-# Drop the factory before any backend initializes.
-try:
-    from jax._src import xla_bridge as _xb
-
-    for _name in list(getattr(_xb, "_backend_factories", {})):
-        if _name not in ("cpu",):
-            _xb._backend_factories.pop(_name, None)
-except Exception:  # pragma: no cover - best effort
-    pass
 
 # jax was already imported by sitecustomize, so the env var alone is not
 # enough — update the live config too.
