@@ -160,3 +160,33 @@ def test_multi_scene_batched():
     for name, (grid, curve) in out.items():
         assert np.isfinite(np.asarray(grid)).all()
         assert np.isfinite(curve).all()
+
+
+@pytest.mark.slow
+def test_multiscale_rendering_schedule_and_resume(tmp_path):
+    """use_multiscale_rendering: film res doubles at the scheduled iteration;
+    checkpoints restore and training resumes."""
+    from differentiable_sdf_rendering_tpu.opt.shape_opt import optimize_shape
+
+    mc = get_config("warp")
+    mc.spp = 2
+    mc.primal_spp_mult = 2
+    oc, _ = get_opt_config("no-tex-3")
+    oc.resx = oc.resy = 32
+    oc.sdf_res = 8
+    oc.upsample_iter = ()
+    oc.use_multiscale_rendering = True
+    oc.render_upsample_iter = (3,)
+    oc.checkpoint_frequency = 2
+    out = str(tmp_path / "run")
+    assert oc.init_res == (16, 16)
+    assert oc.res_at(0) == (16, 16) and oc.res_at(3) == (32, 32)
+
+    res = optimize_shape("sphere", oc, mc, output_dir=out, ref_spp=8, n_iter=6,
+                         target_res=16, verbose=False)
+    assert np.isfinite(res.loss_values).all() and len(res.loss_values) == 6
+
+    res2 = optimize_shape("sphere", oc, mc, output_dir=out, ref_spp=8, n_iter=6,
+                          target_res=16, verbose=False, resume_from=4)
+    assert len(res2.loss_values) == 1  # iters 5..5
+    assert np.isfinite(res2.loss_values).all()
