@@ -1,0 +1,99 @@
+"""Emitter/BSDF sampling consistency: pdfs normalize, importance sampling is
+unbiased (white-furnace style checks), envmap CDF sampling matches its pdf."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from differentiable_sdf_rendering_tpu.models.bsdf import DiffuseBSDF, PrincipledBSDF
+from differentiable_sdf_rendering_tpu.models.emitter import (
+    ConstantEmitter,
+    GridEnvmap,
+    VMFEmitter,
+    make_gradient_envmap,
+)
+from differentiable_sdf_rendering_tpu.ops.interaction import SurfaceInteraction
+from differentiable_sdf_rendering_tpu.ops.sampling import square_to_uniform_sphere
+
+
+def _si(n=4096):
+    z = jnp.zeros((n, 3))
+    return SurfaceInteraction(
+        valid=jnp.ones((n,), bool),
+        t=jnp.ones((n,)),
+        p=jnp.full((n, 3), 0.5),
+        n=jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1)),
+        s=jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n, 1)),
+        b=jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (n, 1)),
+        wi=jnp.tile(jnp.asarray([[0.3, 0.1, 0.94]]), (n, 1)),
+    )
+
+
+def test_diffuse_white_furnace():
+    """E[f·cos/pdf] over the cosine sampler = albedo."""
+    si = _si()
+    u = jax.random.uniform(jax.random.PRNGKey(0), (4096, 2))
+    wo, pdf, weight = DiffuseBSDF.create((0.7, 0.5, 0.3)).sample(si, u)
+    est = np.asarray(weight).mean(0)
+    np.testing.assert_allclose(est, [0.7, 0.5, 0.3], atol=0.02)
+
+
+def test_diffuse_eval_pdf_consistent():
+    si = _si(512)
+    u = jax.random.uniform(jax.random.PRNGKey(1), (512, 2))
+    b = DiffuseBSDF.create((0.6, 0.6, 0.6))
+    wo, pdf, weight = b.sample(si, u)
+    val, pdf2 = b.eval_pdf(si, wo)
+    np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf2), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(val) / np.maximum(np.asarray(pdf)[..., None], 1e-8),
+        np.asarray(weight), atol=1e-4,
+    )
+
+
+def test_principled_energy_bounded():
+    si = _si(2048)
+    u = jax.random.uniform(jax.random.PRNGKey(2), (2048, 2))
+    b = PrincipledBSDF.create((0.8, 0.8, 0.8), roughness=0.4)
+    wo, pdf, weight = b.sample(si, u)
+    est = np.asarray(weight).mean(0)
+    assert np.all(est < 1.15), est  # energy ≤ 1 + MC tolerance
+    assert np.all(est > 0.5), est
+
+
+def _emitter_integral(em, n=16384, seed=3):
+    """MC check: E[L(ω)/pdf(ω)] over the emitter's own sampler equals the
+    true integral ∫L dω (estimated with uniform-sphere sampling)."""
+    u = jax.random.uniform(jax.random.PRNGKey(seed), (n, 2))
+    d, pdf, rad = em.sample_direction(u)
+    imp = np.asarray(rad / jnp.maximum(pdf, 1e-12)[..., None]).mean(0)
+
+    u2 = jax.random.uniform(jax.random.PRNGKey(seed + 1), (n, 2))
+    d_uni = square_to_uniform_sphere(u2)
+    ref = np.asarray(em.eval(d_uni)).mean(0) * 4.0 * np.pi
+    return imp, ref
+
+
+def test_constant_emitter_sampling():
+    imp, ref = _emitter_integral(ConstantEmitter.create((2.0, 1.0, 0.5)))
+    np.testing.assert_allclose(imp, ref, rtol=0.02)
+
+
+def test_vmf_emitter_sampling():
+    imp, ref = _emitter_integral(VMFEmitter.create(kappa=20.0))
+    np.testing.assert_allclose(imp, ref, rtol=0.1)
+
+
+def test_grid_envmap_sampling():
+    em = make_gradient_envmap(h=32, w=64)
+    imp, ref = _emitter_integral(em, n=32768)
+    np.testing.assert_allclose(imp, ref, rtol=0.15)
+
+
+def test_grid_envmap_pdf_normalized():
+    """∫pdf dω ≈ 1 via uniform-sphere MC."""
+    em = make_gradient_envmap(h=16, w=32)
+    u = jax.random.uniform(jax.random.PRNGKey(5), (32768, 2))
+    d = square_to_uniform_sphere(u)
+    integral = float(np.asarray(em.pdf_direction(d)).mean() * 4.0 * np.pi)
+    assert abs(integral - 1.0) < 0.1, integral
