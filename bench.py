@@ -114,6 +114,14 @@ def main():
             g = gi if g is None else g + gi
         return g
 
+    # trivial-op round-trip latency — contextualizes results on the remote
+    # TPU, whose dispatch path degrades after worker crashes (CLAUDE.md)
+    triv = jax.jit(lambda a: (a * 2.0).sum())
+    sync(triv(jnp.ones((8, 8))))
+    t0 = time.perf_counter()
+    sync(triv(jnp.ones((8, 8))))
+    dispatch_ms = (time.perf_counter() - t0) * 1e3
+
     # warmup/compile
     sync(run_primal())
     sync(run_adjoint())
@@ -155,6 +163,7 @@ def main():
             "platform": jax.devices()[0].platform,
             "n_runs": n_runs,
             "scale": scale,
+            "dispatch_ms": round(dispatch_ms, 2),
         },
     }
     print(json.dumps(result))
