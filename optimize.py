@@ -34,7 +34,9 @@ def main(argv=None):
     args, extra = parser.parse_known_args(argv)
 
     if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        from differentiable_sdf_rendering_tpu.utils.platform import force_cpu
+
+        force_cpu()
 
     from differentiable_sdf_rendering_tpu.opt.configs import get_config, apply_cmdline_args
     from differentiable_sdf_rendering_tpu.opt.opt_configs import get_opt_config

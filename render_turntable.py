@@ -28,7 +28,9 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        from differentiable_sdf_rendering_tpu.utils.platform import force_cpu
+
+        force_cpu()
 
     from differentiable_sdf_rendering_tpu.models.scene import Scene
     from differentiable_sdf_rendering_tpu.models.scenes_zoo import scene_rig
