@@ -1,3 +1,3 @@
 """Scene model: cameras, BSDFs, emitters, integrators."""
 
-from . import bsdf, camera, emitter, integrator, scene, scenes_zoo  # noqa: F401
+from . import bsdf, camera, emitter, integrator, prb, scene, scene_file, scenes_zoo  # noqa: F401

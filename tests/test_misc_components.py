@@ -124,3 +124,34 @@ def test_checkpoint_roundtrip(tmp_path):
     write_vol(str(tmp_path / "params" / "sdf-data-0004.vol"), data)
     params = load_checkpoint(str(tmp_path), 4, [spec])
     np.testing.assert_allclose(np.asarray(params["sdf"]), data, atol=1e-7)
+
+
+def test_scene_file_loading(tmp_path):
+    import json
+
+    from differentiable_sdf_rendering_tpu.models.scene_file import load_scene_file
+    from differentiable_sdf_rendering_tpu.utils.io import write_vol
+
+    spec = {
+        "sdf": {"vol": "grid.vol"},
+        "bsdf": {"type": "principled", "base_color": [0.5, 0.5, 0.7]},
+        "emitter": {"type": "constant", "radiance": [2.0, 2.0, 2.0]},
+        "cameras": {"type": "lookat", "origins": [[0.5, 0.5, -1.5]], "target": [0.5, 0.5, 0.5]},
+    }
+    import numpy as _np
+
+    from differentiable_sdf_rendering_tpu.ops.initializers import create_sphere_sdf
+
+    write_vol(str(tmp_path / "grid.vol"), _np.asarray(create_sphere_sdf(16)))
+    with open(tmp_path / "scene.json", "w") as f:
+        json.dump(spec, f)
+    scene = load_scene_file(str(tmp_path / "scene.json"), resx=16, resy=16)
+    assert scene.sdf.data.shape == (16, 16, 16)
+    assert scene.cameras.resx == 16
+
+    # the repo's example scene
+    scene2 = load_scene_file("scenes/example/example.json", resx=24, resy=24)
+    from differentiable_sdf_rendering_tpu.models.integrator import RenderConfig, render
+
+    img = render(scene2, 0, seed=0, cfg=RenderConfig(spp=2))
+    assert np.isfinite(np.asarray(img)).all()
