@@ -34,6 +34,10 @@ class TraceParams:
     """
 
     step_scale: float = 1.0
+    # Over-relaxation factor for the *non-differential* trace (Keinert et
+    # al. 2014): step λ·|f| with fallback when spheres stop overlapping.
+    # 1.0 = off (reference-parity default); 1.2–1.6 cuts step counts ~25%.
+    over_relax: float = 1.0
     trace_eps: float = 1e-6
     refine_intersection: bool = True
     use_extra_weight: bool = True

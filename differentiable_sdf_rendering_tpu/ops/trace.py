@@ -93,6 +93,7 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
     active0 = jnp.broadcast_to(jnp.asarray(active, bool), t0.shape) & hit
 
     scale = params.step_scale
+    relax = params.over_relax
 
     def cond(s):
         return jnp.any(s["active"])
@@ -101,6 +102,27 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
         act, t, its_t, i = s["active"], s["t"], s["its_t"], s["i"]
         x = o + t[..., None] * d
         f = sdf.eval(x) * scale
+        if relax > 1.0:
+            # Over-relaxed sphere tracing (Keinert et al. 2014): step ω·|f|;
+            # when consecutive unbounding spheres stop overlapping, the ω
+            # step overshot — retreat by (ω−1)·step and drop to ω=1 for the
+            # rest of the ray.  One SDF eval per iteration, like the plain
+            # trace; typical step-count savings ~25%.
+            radius = jnp.abs(f)
+            omega = s["omega"]
+            fail = (omega > 1.0) & (radius + s["prev_radius"] < s["step_len"])
+            intersected = ~fail & (f < trace_eps)
+            its_t = jnp.where(act & intersected, t, its_t)
+            step = jnp.where(fail, (1.0 - relax) * s["step_len"], radius * omega)
+            step = jnp.where(intersected, 0.0, step)
+            t_new = jnp.where(act, t + step, t)
+            act = act & (t_new <= maxt) & ~intersected & (i + 1 < params.max_steps)
+            return {
+                "active": act, "t": t_new, "its_t": its_t, "i": i + 1,
+                "omega": jnp.where(fail, 1.0, omega),
+                "prev_radius": jnp.where(fail, 0.0, radius),
+                "step_len": jnp.abs(step),
+            }
         intersected = f < trace_eps
         its_t = jnp.where(act & intersected, t, its_t)
         step = jnp.where(intersected, 0.0, jnp.abs(f))
@@ -114,6 +136,10 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
         "its_t": jnp.full_like(t0, _INF),
         "i": jnp.zeros_like(t0, jnp.int32),
     }
+    if relax > 1.0:
+        state["omega"] = jnp.full_like(t0, relax)
+        state["prev_radius"] = jnp.zeros_like(t0)
+        state["step_len"] = jnp.zeros_like(t0)
     its_t = jax.lax.while_loop(cond, body, state)["its_t"]
 
     if params.refine_intersection:

@@ -160,3 +160,18 @@ def test_inside_ray():
     d = jnp.asarray([[0.0, 0.0, 1.0]])
     its_t = np.asarray(sphere_trace(sdf, o, d))
     np.testing.assert_allclose(its_t, [0.45 - RADIUS], atol=1e-4)
+
+
+def test_over_relaxed_trace_matches_plain():
+    """Keinert over-relaxation is an accelerator, not a semantic change:
+    same hit mask and hit distances (within the refinement tolerance)."""
+    import dataclasses
+
+    sdf = GridSDF.create(create_sphere_sdf(48, radius=RADIUS))
+    o, d = _camera_rays(512, key=11)
+    plain = np.asarray(sphere_trace(sdf, o, d, TraceParams()))
+    relaxed = np.asarray(sphere_trace(sdf, o, d, dataclasses.replace(TraceParams(), over_relax=1.4)))
+    hit_a, hit_b = np.isfinite(plain), np.isfinite(relaxed)
+    assert (hit_a == hit_b).mean() > 0.99
+    both = hit_a & hit_b
+    np.testing.assert_allclose(relaxed[both], plain[both], atol=2e-3)
