@@ -94,6 +94,12 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
 
     scale = params.step_scale
     relax = params.over_relax
+    # The retreat formula (1-ω)·step is a sound recovery only for ω ∈ [1, 2);
+    # and the hit test may land inside the surface under over-relaxation, so
+    # the refinement pass is mandatory (it converges its_t to the ±ε shell).
+    assert 1.0 <= relax < 2.0, f"over_relax must be in [1, 2), got {relax}"
+    if relax > 1.0:
+        assert params.refine_intersection, "over_relax requires refine_intersection"
 
     def cond(s):
         return jnp.any(s["active"])
@@ -107,7 +113,10 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
             # when consecutive unbounding spheres stop overlapping, the ω
             # step overshot — retreat by (ω−1)·step and drop to ω=1 for the
             # rest of the ray.  One SDF eval per iteration, like the plain
-            # trace; typical step-count savings ~25%.
+            # trace; typical step-count savings ~25%.  An ω step may land
+            # slightly inside the surface (f < 0 passes the hit test); the
+            # mandatory refinement pass (asserted in sphere_trace) converges
+            # its_t back to the |f| < ε shell.
             radius = jnp.abs(f)
             omega = s["omega"]
             fail = (omega > 1.0) & (radius + s["prev_radius"] < s["step_len"])
@@ -116,7 +125,10 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
             step = jnp.where(fail, (1.0 - relax) * s["step_len"], radius * omega)
             step = jnp.where(intersected, 0.0, step)
             t_new = jnp.where(act, t + step, t)
-            act = act & (t_new <= maxt) & ~intersected & (i + 1 < params.max_steps)
+            # Termination must use the CONSERVATIVE reach t + |f| (the
+            # unbounding-sphere bound), not the ω-inflated t_new: only
+            # t + |f| > maxt proves the remaining interval is empty.
+            act = act & (t + radius <= maxt) & ~intersected & (i + 1 < params.max_steps)
             return {
                 "active": act, "t": t_new, "its_t": its_t, "i": i + 1,
                 "omega": jnp.where(fail, 1.0, omega),

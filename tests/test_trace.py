@@ -175,3 +175,27 @@ def test_over_relaxed_trace_matches_plain():
     assert (hit_a == hit_b).mean() > 0.99
     both = hit_a & hit_b
     np.testing.assert_allclose(relaxed[both], plain[both], atol=2e-3)
+
+
+def test_over_relaxed_no_false_miss_near_bbox_exit():
+    """Regression (code review): the ω-inflated step must not deactivate a
+    lane as a miss when a surface lies between t+|f| and maxt — termination
+    must use the conservative t+|f| reach."""
+    import dataclasses
+
+    # wall-like SDF: surface at z = 0.9 inside the unit cube
+    from differentiable_sdf_rendering_tpu.ops.initializers import voxel_centers
+    from differentiable_sdf_rendering_tpu.ops.redistance import redistance
+
+    res = 32
+    pts = voxel_centers(res)
+    wall = redistance((0.9 - pts[..., 2]) * -1.0)  # negative beyond z=0.9
+    sdf = GridSDF.create(wall)
+    o = jnp.asarray([[0.5, 0.5, -0.04]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    plain = float(sphere_trace(sdf, o, d, TraceParams())[0])
+    relaxed = float(
+        sphere_trace(sdf, o, d, dataclasses.replace(TraceParams(), over_relax=1.6))[0]
+    )
+    assert np.isfinite(plain) and np.isfinite(relaxed), (plain, relaxed)
+    np.testing.assert_allclose(relaxed, plain, atol=3e-3)
