@@ -182,7 +182,7 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
         active_b = si.valid & (bs_pdf > 0)
         bsdf_d = jax.lax.stop_gradient(si_det.to_world(bs_wo))
         bsdf_o = si.p + bsdf_d * cfg.shadow_eps
-        t_b, d_b, det_b = _ray_intersect(scene, bsdf_o, bsdf_d, 1, cfg, mode, _conv_uni(uni, cfg, 1))
+        t_b, d_b, det_b = _ray_intersect(scene, bsdf_o, bsdf_d, 1, cfg, mode, _conv_uni(uni, cfg, 2))
         escaped = ~jnp.isfinite(t_b)
         bsdf_val = scene.bsdf.eval(si, bs_wo)
         emitter_pdf = scene.emitter.pdf_direction(bsdf_d)
@@ -237,15 +237,23 @@ def render_lane_block(scene, camera, lane, seed, cfg: RenderConfig, mode="primal
     px = (pix % pw).astype(jnp.float32) - b
     n_uni = 6 + (8 * cfg.max_depth if cfg.integrator == "sdf_prb_reparam" else 0)
     if cfg.warp_kind == "conv":
-        n_uni += 4 * cfg.conv.n_aux_rays
+        # primary + NEE-shadow + (optionally) MIS-BSDF reparam each need an
+        # independent aux-ray block
+        n_uni += (6 if cfg.use_mis else 4) * cfg.conv.n_aux_rays
     uni = lane_uniforms(seed, lane, n_uni)
 
     jx, jy = uni[:, 0], uni[:, 1]
     if cfg.antithetic_sampling:
-        # odd lanes take the mirrored jitter of their even partner
-        # (position_sample2 = pos - r + 1, reparam.py:173)
-        partner = lane_uniforms(seed, lane & ~jnp.uint32(1), 2)
-        odd = (lane & 1) == 1
+        # Mirrored jitter pairs WITHIN a pixel (position_sample2 = pos - r
+        # + 1, reparam.py:173): sample s pairs with s^1; with odd spp the
+        # last sample of each pixel has no partner and stays unmirrored.
+        s_idx = lane % jnp.uint32(spp)
+        partner_s = jnp.where(
+            (s_idx ^ 1) < spp, s_idx ^ jnp.uint32(1), s_idx
+        )
+        partner_lane = lane - s_idx + partner_s
+        partner = lane_uniforms(seed, partner_lane, 2)
+        odd = (s_idx & 1) == 1
         jx = jnp.where(odd, 1.0 - partner[:, 0], jx)
         jy = jnp.where(odd, 1.0 - partner[:, 1], jy)
     pos = jnp.stack([px + jx, py + jy], axis=-1)  # unpadded px coords
@@ -340,7 +348,8 @@ def render_aovs(scene, view_idx=0, seed=0, cfg: RenderConfig = RenderConfig(), c
 def render_chunked(scene, view_idx=0, seed=0, cfg: RenderConfig = RenderConfig(), mode="primal", camera=None, n_chunks: int = 1):
     """Render with the wavefront split into contiguous lane chunks to bound
     peak memory (the role of Dr.Jit's wavefront-size cap, reparam.py:47-50).
-    Bit-identical to :func:`render` for any n_chunks.
+    Matches :func:`render` up to float32 accumulation order (the same
+    samples are splatted, grouped per chunk).
 
     The chunk loop is a ``lax.scan`` with a rematerialized body: one copy of
     the trace program regardless of chunk count, and the backward pass

@@ -143,6 +143,14 @@ def sample_prb(scene, o, d, uni, cfg, mode):
 
     Lsuf = _suffix_radiance(recs)
     n_b = len(recs)
+    # Detached interactions per bounce (for the adjacent-vertex extra terms)
+    si_all = [
+        compute_surface_interaction(
+            scene.sdf, recs[k]["ray_o"], recs[k]["ray_d"], recs[k]["its_t"],
+            differentiable=False,
+        )
+        for k in range(n_b)
+    ]
     result = jnp.zeros_like(L_primal)
     det0 = None
     d1_primary = None
@@ -153,8 +161,20 @@ def sample_prb(scene, o, d, uni, cfg, mode):
         first = k == 0
 
         # --- reparameterize the current ray (prb:289-296) ---
-        reparam_on = cfg.use_warp and (
+        use_warp = cfg.use_warp and cfg.warp_kind != "dummy"
+        if cfg.warp_kind == "conv":
+            raise NotImplementedError(
+                "warp_kind='conv' is not supported by sdf_prb_reparam "
+                "(the reference pairs the conv baseline with the direct "
+                "integrator only); use integrator='sdf_direct_reparam'."
+            )
+        reparam_on = use_warp and (
             cfg.warp.max_reparam_depth < 0 or k <= cfg.warp.max_reparam_depth
+        )
+        # Shadow rays are reparameterized at static depth 1, matching the
+        # reference's ray_test(depth=1) gating (sdf_prb_reparam.py:319-321)
+        reparam_shadow = use_warp and (
+            cfg.warp.max_reparam_depth < 0 or 1 <= cfg.warp.max_reparam_depth
         )
         if reparam_on:
             if first:
@@ -162,6 +182,9 @@ def sample_prb(scene, o, d, uni, cfg, mode):
             else:
                 # origin follows the previous (attached) interaction point
                 ray_o_att = si_prev.p + r["ray_d"] * cfg.shadow_eps
+                ray_o_att = jnp.where(
+                    jnp.isfinite(ray_o_att), ray_o_att, r["ray_o"]
+                )
             _, d_rep, det_k = reparameterize(
                 scene.sdf, ray_o_att, r["ray_d"], cfg.warp, cfg.trace
             )
@@ -184,7 +207,7 @@ def sample_prb(scene, o, d, uni, cfg, mode):
 
         # --- NEE with reparameterized shadow ray (prb:313-332) ---
         em_o = si_cur.p + r["ds_d"] * cfg.shadow_eps
-        if reparam_on:
+        if reparam_shadow:
             _, _, em_det = reparameterize(scene.sdf, em_o, r["ds_d"], cfg.warp, cfg.trace)
         else:
             em_det = jnp.ones_like(det_k)
@@ -215,14 +238,37 @@ def sample_prb(scene, o, d, uni, cfg, mode):
             Lr_ind = jnp.zeros_like(Le)
 
         # --- adjacent-vertex 'extra' boundary terms (prb:385-404) ---
+        # Le_next (attached via wi_next) is omitted: emitters here are
+        # environment lights at infinity whose radiance does not depend on
+        # the incident point, so its gradient is identically zero.
         extra = jnp.zeros_like(Le)
+        if k + 1 < n_b:
+            # next-vertex BSDF re-evaluated with wi toward the attached
+            # si_cur.p, at a FRESH detached BSDF sample (the reference uses
+            # a sampler clone to decorrelate, prb:364,380-381); replay
+            # ratio multiplies the twice-indirect suffix radiance.
+            si_next_det = si_all[k + 1]
+            u_fresh = jax.lax.stop_gradient(uni[:, 6 + 8 * k + 6 : 6 + 8 * k + 8])
+            bs_wo_next, bs_pdf_next, _ = scene.bsdf.sample(si_next_det, u_fresh)
+            wi_next_w = normalize(si_cur.p - si_next_det.p)
+            si_next_att = si_next_det.replace(wi=si_next_det.to_local(wi_next_w))
+            bsdf_val_next = scene.bsdf.eval(si_next_att, bs_wo_next)
+            ratio_next = replace_grad(
+                jnp.ones_like(bsdf_val_next),
+                bsdf_val_next / jnp.maximum(jax.lax.stop_gradient(bsdf_val_next), 1e-12),
+            )
+            L_nn = Lsuf[k + 2] if k + 2 < n_b else jnp.zeros_like(Le)
+            extra = extra + jnp.where(
+                (recs[k + 1]["valid"] & (bs_pdf_next > 0))[..., None],
+                L_nn * ratio_next,
+                0.0,
+            )
         if not first:
             # previous-vertex BSDF re-evaluated with wo toward the attached
             # si_cur.p; replay ratio trick
-            wo_prev_w = normalize(si_cur.p - jax.lax.stop_gradient(si_prev.p))
-            bsdf_val_prev = scene.bsdf.eval(
-                jax.lax.stop_gradient(si_prev), jax.lax.stop_gradient(si_prev).to_local(wo_prev_w)
-            )
+            si_prev_det = jax.lax.stop_gradient(si_prev)
+            wo_prev_w = normalize(si_cur.p - si_prev_det.p)
+            bsdf_val_prev = scene.bsdf.eval(si_prev_det, si_prev_det.to_local(wo_prev_w))
             ratio_prev = replace_grad(
                 jnp.ones_like(bsdf_val_prev),
                 bsdf_val_prev / jnp.maximum(jax.lax.stop_gradient(bsdf_val_prev), 1e-12),
@@ -234,8 +280,17 @@ def sample_prb(scene, o, d, uni, cfg, mode):
         Lo = (Le + Lr_dir + Lr_ind) * det_k[..., None] + extra
         result = result + jnp.where(r["active"][..., None], Lo, 0.0)
 
-        si_prev = jax.lax.stop_gradient(si_cur)
+        # Keep si_cur ATTACHED for the next bounce's reparam origin (the
+        # reference reparameterizes from the differentiable si_prev BEFORE
+        # disabling its grads, sdf_prb_reparam.py:291-296); all other uses
+        # of si_prev are detached explicitly below.
+        si_prev = si_cur
 
+    # The per-vertex Lo_k terms carry primal-1 ratio factors, so their sum
+    # over-counts radiance primally; the film must see the true primal L
+    # with the summed per-vertex gradients (the reference backprops δL·Lo
+    # per vertex and splats L, sdf_prb_reparam.py:204-220).
+    result = replace_grad(L_primal, result)
     return (
         jnp.where(valid_ray[..., None], result, 0.0),
         valid_ray,

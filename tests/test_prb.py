@@ -60,3 +60,12 @@ def test_prb_gradient_finite_and_boundary(scene):
     )
     assert np.abs(g_sil[0]) > 30
     np.testing.assert_allclose(g_prb, -g_sil, rtol=0.08, atol=4.0)
+
+
+def test_prb_grad_mode_primal_matches(scene):
+    """Regression (code review): per-vertex ratio terms must not inflate the
+    grad-mode image's primal value (replace_grad(L_primal, Σ Lo_k))."""
+    cfg = RenderConfig(integrator="sdf_prb_reparam", spp=8, max_depth=3)
+    a = np.asarray(render(scene, 0, seed=0, cfg=cfg, mode="primal"))
+    b = np.asarray(render(scene, 0, seed=0, cfg=cfg, mode="grad"))
+    np.testing.assert_allclose(a, b, atol=3e-3)
