@@ -24,7 +24,9 @@ def adam_init(params: dict) -> dict:
     return {
         "m": zeros(params),
         "v": zeros(params),
-        "t": jnp.zeros((), jnp.int32),
+        # per-key step counters: mi.ad.Adam resets a parameter's t (not just
+        # m/v) when it changes shape, e.g. at grid upsampling
+        "t": {k: jnp.zeros((), jnp.int32) for k in params},
     }
 
 
@@ -33,14 +35,15 @@ def adam_step(params: dict, grads: dict, state: dict, lr: dict, mask_updates: bo
     scalar learning rate (traced — schedules don't retrigger compilation).
     ``mask_updates`` reproduces ``mi.ad.Adam(mask_updates=True)``: state and
     parameters only move where the gradient is non-zero."""
-    t = state["t"] + 1
-    tf = t.astype(jnp.float32)
-    c1 = 1.0 - _BETA1 ** tf
-    c2 = 1.0 - _BETA2 ** tf
+    new_t = {k: state["t"][k] + 1 for k in params}
 
     new_params, new_m, new_v = {}, {}, {}
     for k in params:
-        def upd(p, g, m, v):
+        tf = new_t[k].astype(jnp.float32)
+        c1 = 1.0 - _BETA1 ** tf
+        c2 = 1.0 - _BETA2 ** tf
+
+        def upd(p, g, m, v, c1=c1, c2=c2):
             m2 = _BETA1 * m + (1.0 - _BETA1) * g
             v2 = _BETA2 * v + (1.0 - _BETA2) * g * g
             if mask_updates:
@@ -57,7 +60,7 @@ def adam_step(params: dict, grads: dict, state: dict, lr: dict, mask_updates: bo
         new_params[k] = jax.tree_util.tree_map(lambda o: o[0], out, is_leaf=lambda x: isinstance(x, tuple))
         new_m[k] = jax.tree_util.tree_map(lambda o: o[1], out, is_leaf=lambda x: isinstance(x, tuple))
         new_v[k] = jax.tree_util.tree_map(lambda o: o[2], out, is_leaf=lambda x: isinstance(x, tuple))
-    return new_params, {"m": new_m, "v": new_v, "t": t}
+    return new_params, {"m": new_m, "v": new_v, "t": new_t}
 
 
 def simple_lr_decay(initial_lr: float, decay: float, i) -> jnp.ndarray:

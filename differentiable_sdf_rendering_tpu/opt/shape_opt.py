@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.camera import regular_cameras, regular_cameras_top
-from ..models.integrator import RenderConfig, render
+from ..models.integrator import RenderConfig, render, render_chunked
 from ..models.scene import Scene
 from ..models.scenes_zoo import scene_rig, target_sdf
 from ..ops.initializers import upsample_sdf, upsample_volume
@@ -108,8 +108,7 @@ def _build_scene(base: Scene, params: dict) -> Scene:
 def render_reference_images(scene: Scene, opt_cfg: SdfConfig, ref_spp: int = 512, cfg: RenderConfig | None = None):
     """Render per-view references at full res + the multiscale pyramid
     (optimize.py:11-29 with seed ``idx+41``; shape_opt.py:16-29)."""
-    cfg = cfg or RenderConfig(spp=ref_spp)
-    cfg = dataclasses.replace(cfg, spp=ref_spp)
+    cfg = dataclasses.replace(cfg or RenderConfig(), spp=ref_spp)
     refs = {}
     fullres = (opt_cfg.resx, opt_cfg.resy)
     per_view = []
@@ -130,7 +129,7 @@ def render_reference_images(scene: Scene, opt_cfg: SdfConfig, ref_spp: int = 512
     return refs
 
 
-@functools.partial(jax.jit, static_argnames=("loss_name", "cfg_primal", "cfg_grad", "batch", "specs", "base_treedef", "mask_updates"))
+@functools.partial(jax.jit, static_argnames=("loss_name", "cfg_primal", "cfg_grad", "batch", "specs", "base_treedef", "mask_updates", "render_chunks"))
 def _train_step(
     params,
     adam_state,
@@ -149,6 +148,7 @@ def _train_step(
     batch: int,
     specs,
     mask_updates: bool = False,
+    render_chunks: int = 1,
 ):
     base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
     loss_fn = _LOSSES[loss_name]
@@ -157,11 +157,21 @@ def _train_step(
     def one_view(vidx, seed_p, seed_g, ref):
         cam = base.cameras.view(vidx)
         scene_det = _build_scene(jax.lax.stop_gradient(base), jax.lax.stop_gradient(params))
-        img_p = render(scene_det, seed=seed_p, cfg=cfg_primal, mode="primal", camera=cam)[..., :3]
+        # render_chunks > 1 bounds the live wavefront (lax.scan over lane
+        # chunks with a rematerialized body) — required for hq/hqq film
+        # sizes on single chips (CLAUDE.md: HBM limits); bit-compatible up
+        # to float accumulation order.
+        img_p = render_chunked(
+            scene_det, seed=seed_p, cfg=cfg_primal, mode="primal", camera=cam,
+            n_chunks=render_chunks,
+        )[..., :3]
         lval, dimg = jax.value_and_grad(lambda im: loss_fn(im, ref) / batch)(img_p)
 
         def rfun(p):
-            return render(_build_scene(base, p), seed=seed_g, cfg=cfg_grad, mode="grad", camera=cam)[..., :3]
+            return render_chunked(
+                _build_scene(base, p), seed=seed_g, cfg=cfg_grad, mode="grad",
+                camera=cam, n_chunks=render_chunks,
+            )[..., :3]
 
         _, vjp = jax.vjp(rfun, params)
         (gp,) = vjp(dimg)
@@ -228,9 +238,14 @@ def load_checkpoint(output_dir: str, iteration, specs):
         else:
             path = os.path.join(pdir, f"{s.key}-{iteration}.vol")
         if not os.path.exists(path):
-            cands = sorted(glob.glob(os.path.join(pdir, f"{s.key}-*.vol")))
+            # fall back to the latest ITERATION checkpoint (never silently to
+            # the EMA '*-final.vol', which sorts last lexicographically)
+            cands = sorted(glob.glob(os.path.join(pdir, f"{s.key}-data-*.vol")))
+            if not cands:
+                cands = sorted(glob.glob(os.path.join(pdir, f"{s.key}-*.vol")))
             if not cands:
                 raise FileNotFoundError(f"no checkpoint for '{s.key}' in {pdir}")
+            print(f"[load_checkpoint] '{path}' missing; using '{cands[-1]}'")
             path = cands[-1]
         data = read_vol(path)
         if data.shape[-1] == 1 and s.key == "sdf":
@@ -252,6 +267,7 @@ def optimize_shape(
     checkpoint_cb=None,
     resume_from=None,
     write_images: bool = False,
+    render_chunks: int = 1,
 ) -> OptimizationResult:
     """Run a full reconstruction (reference shape_opt.py:32-132 +
     optimize.py: reference rendering happens here from the target SDF)."""
@@ -282,7 +298,6 @@ def optimize_shape(
     adam_state = adam_init(params)
     ema = {k: params[k] for k in params}
     loss_values = []
-    opt_frames = {}
     seed = 0
 
     from ..ops.warp_conv import ConvWarpConfig
@@ -318,11 +333,17 @@ def optimize_shape(
                 if s.upsample_iter and i in s.upsample_iter:
                     up = upsample_sdf if isinstance(s, SdfVariableSpec) else upsample_volume
                     params[s.key] = up(params[s.key])
-                    # Adam state resets on shape change (mi.ad.Adam behavior)
+                    # Adam state (incl. the per-key step counter t) resets on
+                    # shape change — mi.ad.Adam behavior
                     sub = adam_init({s.key: params[s.key]})
                     adam_state["m"][s.key] = sub["m"][s.key]
                     adam_state["v"][s.key] = sub["v"][s.key]
+                    adam_state["t"][s.key] = sub["t"][s.key]
                     params[s.key] = s.validate(params[s.key], -1)
+                    # keep the EMA shape in sync here (the in-jit shape-reset
+                    # branch would do it anyway, but at the cost of an extra
+                    # XLA specialization for the mixed-shape combination)
+                    ema[s.key] = params[s.key]
 
             view_indices = jnp.asarray(opt_cfg.sensor_indices(i), jnp.int32)
             batch = len(view_indices)
@@ -359,6 +380,7 @@ def optimize_shape(
                 specs=specs,
                 base_treedef=base_treedef,
                 mask_updates=method_cfg.mask_optimizer,
+                render_chunks=render_chunks,
             )
             loss_values.append(float(loss))
             if verbose and (i % 8 == 0 or i == n_iter - 1):
@@ -379,7 +401,6 @@ def optimize_shape(
                             os.path.join(output_dir, "opt", f"opt-{i:04d}-{vi:02d}.png"),
                             np.asarray(img[..., :3]),
                         )
-                        opt_frames.setdefault(i, []).append(np.asarray(img[..., :3]))
             if checkpoint_cb is not None:
                 checkpoint_cb(i, params, loss_values)
 

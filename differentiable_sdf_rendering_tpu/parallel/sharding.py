@@ -50,17 +50,13 @@ def _lane_count(camera, cfg: RenderConfig) -> int:
     return (camera.resx + 2 * b) * (camera.resy + 2 * b) * cfg.spp
 
 
-def _pad_to(n: int, m: int) -> int:
-    return (n + m - 1) // m * m
-
-
 def render_sharded(scene, camera, seed, cfg: RenderConfig, mesh: Mesh, mode="primal", axis="rays"):
     """Single-view render with the wavefront sharded over ``axis``.
 
-    Each shard renders its slice of the (padded) lane axis into a local film
-    block; blocks are psum-reduced over the mesh axis and developed. Padding
-    lanes point at pixel index 0 with weight... they are masked out by lane
-    id >= n (their splat weight is zeroed via the active mask).
+    Each shard renders its slice of the lane axis into a local film block;
+    blocks are psum-reduced over the mesh axis and developed.  The lane
+    count must divide evenly over the shard count (lane counts are
+    film-size × spp, so pick spp divisible by the rays-axis width).
     """
     n = _lane_count(camera, cfg)
     n_shards = mesh.shape[axis]

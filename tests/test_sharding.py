@@ -50,3 +50,37 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_view_grads(scene):
+    """The view-DP helper: loss+grads psum over the 'views' axis matches the
+    unsharded sum."""
+    import jax.numpy as jnp
+
+    from differentiable_sdf_rendering_tpu.parallel.sharding import sharded_view_grads
+
+    cfg = RenderConfig(integrator="sdf_silhouette_reparam", spp=2)
+
+    def lg(params, vidx):
+        def f(p):
+            sc = scene.replace(sdf=scene.sdf.replace(data=p["sdf"]))
+            cam = scene.cameras.view(vidx)
+            img = render(sc, seed=0, cfg=cfg, mode="grad", camera=cam)
+            return jnp.sum(img[..., :3])
+
+        l, g = jax.value_and_grad(f)({"sdf": params["sdf"]})
+        return l, g
+
+    params = {"sdf": scene.sdf.data}
+    mesh = make_mesh(n_views_axis=2)
+    with mesh:
+        loss_sh, grads_sh = sharded_view_grads(lg, params, [0, 1, 2, 3], mesh)
+
+    loss_ref = 0.0
+    grad_ref = jnp.zeros_like(params["sdf"])
+    for v in range(4):
+        l, g = lg(params, v)
+        loss_ref += l
+        grad_ref = grad_ref + g["sdf"]
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grads_sh["sdf"]), np.asarray(grad_ref), atol=1e-4)
