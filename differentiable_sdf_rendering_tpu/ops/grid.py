@@ -40,12 +40,14 @@ __all__ = [
 
 
 def pad_amount(res: int) -> int:
-    """Edge padding that makes every tap of any bbox-interior query in-range.
-
-    Queries come from points within the expanded bbox (±0.05 beyond the unit
-    cube, ``TraceParams.bbox_expand``), i.e. continuous coords within
-    ~0.05·res+1 voxels outside the grid; +4 guards the all-clamped case."""
-    return int(0.06 * res) + 5
+    """Edge padding for the contiguous-fetch path.  A constant 4 suffices
+    for ARBITRARY query positions: the 4-wide window start is clipped into
+    the padded table, and with edge replication ``padded[j] ==
+    data[clip(j - 4)]`` holds for every j, so clipped window taps coincide
+    exactly with per-tap clamping (verified bit-exact for queries many
+    cubes outside the grid)."""
+    del res
+    return 4
 
 
 def pad_grid(data: jnp.ndarray) -> jnp.ndarray:

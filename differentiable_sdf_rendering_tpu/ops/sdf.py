@@ -76,8 +76,19 @@ class GridSDF:
 
     def prepare(self):
         """Cache the edge-padded grid for contiguous-fetch interpolation
-        (hoisted out of trace loops; gradients flow data → padded → taps)."""
+        (hoisted out of trace loops; gradients flow data → padded → taps).
+
+        WARNING: the cache is derived state — after ``.replace(data=...)``
+        on a prepared SDF you must either re-``prepare()`` or drop the
+        cache (``.replace(data=..., padded=None)``), otherwise evaluation
+        silently reads the stale grid (and the new data gets zero
+        gradient).  ``with_data`` does the right thing."""
         return self.replace(padded=gridops.pad_grid(self.data))
+
+    def with_data(self, data):
+        """Replace the grid, keeping the padded cache coherent."""
+        out = self.replace(data=data, padded=None)
+        return out.prepare() if self.padded is not None else out
 
     @property
     def resolution(self):

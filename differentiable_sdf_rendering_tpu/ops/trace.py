@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from .sdf import TraceParams
-from .vecmath import dot, normalize, ray_bbox_intersect, bbox_distance_inside_d
+from .vecmath import bbox_distance_inside_d, dot, nearest_axis_mask, normalize, ray_bbox_intersect
 
 __all__ = ["TraceResult", "sphere_trace", "sphere_trace_warp"]
 
@@ -70,7 +70,9 @@ def _ray_setup(sdf, o, d, params: TraceParams, maxt):
     bmin, bmax = sdf.bbox(params.bbox_expand)
     hit, mint, tmax = ray_bbox_intersect(o, d, bmin, bmax)
     inside = jnp.all((o >= bmin) & (o <= bmax), axis=-1)
-    hit = hit & ((mint > 0) | inside)
+    # honor the caller's ray extent: the box must be entered within it
+    # (mi.BoundingBox3f.ray_intersect checks mint <= ray.maxt)
+    hit = hit & ((mint > 0) | inside) & (mint <= maxt)
     maxt = jnp.minimum(tmax, maxt)
     trace_eps = params.trace_eps * jnp.maximum(maxt, 1.0)
     # Non-hitting lanes never trace; pin them to t=0 so their (unused)
@@ -127,8 +129,10 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
             t_new = jnp.where(act, t + step, t)
             # Termination must use the CONSERVATIVE reach t + |f| (the
             # unbounding-sphere bound), not the ω-inflated t_new: only
-            # t + |f| > maxt proves the remaining interval is empty.
-            act = act & (t + radius <= maxt) & ~intersected & (i + 1 < params.max_steps)
+            # t + |f| > maxt proves the remaining interval is empty — and a
+            # fail/retreat iteration must never terminate (the uncovered gap
+            # behind the overshoot may contain a surface before maxt).
+            act = act & (fail | (t + radius <= maxt)) & ~intersected & (i + 1 < params.max_steps)
             return {
                 "active": act, "t": t_new, "its_t": its_t, "i": i + 1,
                 "omega": jnp.where(fail, 1.0, omega),
@@ -228,15 +232,12 @@ def sphere_trace_warp(
     # rotates (shapes.py:155-164); zero for rays starting inside.
     x0 = o + t0[..., None] * d
     min_dist = jnp.minimum(jnp.abs(bmin - x0), jnp.abs(bmax - x0))
-    mx, my, mz = min_dist[..., 0], min_dist[..., 1], min_dist[..., 2]
-    ex = (mx < my) & (mx < mz)
-    ey = (my < mz) & (my < mx)
-    ez = (mz < mx) & (mz < my)
-    n_face = jnp.stack([ex.astype(d.dtype), ey.astype(d.dtype), ez.astype(d.dtype)], -1)
+    n_face = nearest_axis_mask(min_dist)
     d_dot_n = dot(d, n_face)
-    safe_dn = jnp.where(jnp.abs(d_dot_n) > 1e-12, d_dot_n, 1.0)
+    ok_dn = jnp.abs(d_dot_n) > 1e-12
+    safe_dn = jnp.where(ok_dn, d_dot_n, 1.0)
     t_d0 = jnp.where(
-        (~inside & (jnp.abs(d_dot_n) > 0))[..., None],
+        (~inside & ok_dn)[..., None],
         -n_face / safe_dn[..., None] * t0[..., None],
         0.0,
     )

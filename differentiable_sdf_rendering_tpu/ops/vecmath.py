@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "dot",
+    "nearest_axis_mask",
     "norm",
     "normalize",
     "normalize_with_jac",
@@ -58,6 +59,20 @@ def normalize_sqr_with_jac(x: jnp.ndarray):
     return x / x2[..., None], jac
 
 
+def nearest_axis_mask(min_ax: jnp.ndarray) -> jnp.ndarray:
+    """One-hot (..., 3) mask of the strictly smallest axis of ``min_ax``
+    (ties → zero vector), the reference's masked-assignment chain
+    (math_util.py:36-39, shapes.py:159-161)."""
+    mx, my, mz = min_ax[..., 0], min_ax[..., 1], min_ax[..., 2]
+    ex = (mx < my) & (mx < mz)
+    ey = (my < mz) & (my < mx)
+    ez = (mz < mx) & (mz < my)
+    return jnp.stack(
+        [ex.astype(min_ax.dtype), ey.astype(min_ax.dtype), ez.astype(min_ax.dtype)],
+        axis=-1,
+    )
+
+
 def bbox_distance_inside_d(x: jnp.ndarray, bmin: jnp.ndarray, bmax: jnp.ndarray):
     """Distance to the nearest box face from inside (clamped to 0) and its
     spatial derivative (reference math_util.py:27-41).
@@ -71,13 +86,7 @@ def bbox_distance_inside_d(x: jnp.ndarray, bmin: jnp.ndarray, bmax: jnp.ndarray)
     dist = jnp.maximum(0.0, jnp.minimum(jnp.min(lo, axis=-1), jnp.min(hi, axis=-1)))
 
     min_ax = jnp.minimum(jnp.abs(lo), jnp.abs(hi))  # per-axis distance to nearer face
-    mx, my, mz = min_ax[..., 0], min_ax[..., 1], min_ax[..., 2]
-    ex = (mx < my) & (mx < mz)
-    ey = (my < mz) & (my < mx)
-    ez = (mz < mx) & (mz < my)
-    n = jnp.stack(
-        [ex.astype(x.dtype), ey.astype(x.dtype), ez.astype(x.dtype)], axis=-1
-    )
+    n = nearest_axis_mask(min_ax)
     sign = jnp.sign(jnp.abs(hi) - jnp.abs(lo))
     dist_d = jnp.where((dist > 0.0)[..., None], n * sign, 0.0)
     return dist, dist_d

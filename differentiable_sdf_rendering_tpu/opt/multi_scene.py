@@ -87,12 +87,12 @@ def optimize_shapes_batched(
 
             def one_view(j):
                 cam = cams.view(view_indices[j])
-                sc_det = scene.replace(sdf=scene.sdf.replace(data=jax.lax.stop_gradient(sdf_data)))
+                sc_det = scene.replace(sdf=scene.sdf.with_data(jax.lax.stop_gradient(sdf_data)))
                 img_p = render(sc_det, seed=seeds[j], cfg=cfg_primal, mode="primal", camera=cam)[..., :3]
                 lval, dimg = jax.value_and_grad(lambda im: loss_fn(im, my_refs[view_indices[j]]) / batch)(img_p)
 
                 def rfun2(d):
-                    return render(scene.replace(sdf=scene.sdf.replace(data=d)), seed=seeds_grad[j], cfg=cfg_grad, mode="grad", camera=cam)[..., :3]
+                    return render(scene.replace(sdf=scene.sdf.with_data(d)), seed=seeds_grad[j], cfg=cfg_grad, mode="grad", camera=cam)[..., :3]
 
                 _, vjp = jax.vjp(rfun2, sdf_data)
                 (g,) = vjp(dimg)

@@ -93,7 +93,7 @@ def _make_cameras(opt_cfg: SdfConfig, resx, resy):
 
 
 def _build_scene(base: Scene, params: dict) -> Scene:
-    sdf = base.sdf.replace(data=params["sdf"])
+    sdf = base.sdf.with_data(params["sdf"])
     bsdf = base.bsdf
     if "albedo" in params:
         if hasattr(bsdf, "base_color_tex"):
