@@ -104,6 +104,12 @@ def redistance_pallas(phi: jnp.ndarray, iterations: int | None = None, interpret
     sign = jnp.where(phi >= 0.0, 1.0, -1.0)
     dist0, frozen = _interface_init(phi, (h, h, h))
 
+    # The iteration body materializes ~15 grid-sized temporaries (shifts +
+    # quadratic-solve intermediates); the default 16 MiB scoped-VMEM budget
+    # overflows at 64³, so raise it proportionally (v5e has 128 MiB VMEM;
+    # 32 MiB suffices at 64³, measured).
+    grid_bytes = phi.size * 4
+    vmem_limit = int(min(100 * 1024 * 1024, max(32 * 1024 * 1024, 18 * grid_bytes)))
     out = pl.pallas_call(
         functools.partial(_kernel, iterations=int(iterations), h=float(h)),
         out_shape=jax.ShapeDtypeStruct(phi.shape, jnp.float32),
@@ -113,6 +119,7 @@ def redistance_pallas(phi: jnp.ndarray, iterations: int | None = None, interpret
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(dist0, frozen.astype(jnp.float32), sign)
 
