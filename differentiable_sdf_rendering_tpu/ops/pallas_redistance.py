@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .redistance import _interface_init
+from .redistance import _FAR, _interface_init
 
 __all__ = ["redistance_pallas", "pallas_supported"]
 
@@ -76,7 +76,7 @@ def _godunov_iteration(u, frozen, dist0, h):
     return jnp.where(frozen, dist0, unew)
 
 
-def _kernel(dist0_ref, frozen_ref, sign_ref, out_ref, *, iterations: int, h: float):
+def _kernel(dist0_ref, frozen_ref, sign_ref, out_ref, *, iterations: int, h: float, far: float = _FAR):
     dist0 = dist0_ref[:]
     frozen = frozen_ref[:] > 0.5
 
@@ -84,7 +84,7 @@ def _kernel(dist0_ref, frozen_ref, sign_ref, out_ref, *, iterations: int, h: flo
         return _godunov_iteration(u, frozen, dist0, h)
 
     u = jax.lax.fori_loop(0, iterations, body, dist0)
-    out_ref[:] = sign_ref[:] * u
+    out_ref[:] = sign_ref[:] * jnp.minimum(u, far)
 
 
 def redistance_pallas(phi: jnp.ndarray, iterations: int | None = None, interpret: bool = False) -> jnp.ndarray:

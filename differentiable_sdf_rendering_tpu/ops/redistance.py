@@ -28,6 +28,13 @@ import jax.numpy as jnp
 __all__ = ["redistance"]
 
 _BIG = 1e5
+# Far-field ceiling: no point in the expanded unit cube is farther than the
+# diagonal (~1.87) from any surface inside it.  Cells the Jacobi sweep has
+# not reached within `iterations` passes (information travels one voxel per
+# pass, so worst-case Manhattan distance ≈ 3·res for a shape shrunk into a
+# corner) are clamped here instead of keeping the 1e5 sentinel — leaving
+# BIG values poisons the Laplacian regularizer and the tracer.
+_FAR = 2.0
 
 
 def _neighbor_min(u: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -165,6 +172,7 @@ def redistance(phi: jnp.ndarray, iterations: int | None = None, prefer_pallas: b
         return jnp.where(frozen, dist0, unew)
 
     dist = jax.lax.fori_loop(0, iterations, body, dist0)
+    dist = jnp.minimum(dist, _FAR)
     out = sign * dist
     if squeeze:
         out = out[..., None]

@@ -55,3 +55,20 @@ def test_channel_dim_roundtrip():
     phi, _ = _sphere_levelset(res)
     out = redistance(phi[..., None])
     assert out.shape == (res, res, res, 1)
+
+
+def test_corner_blob_no_sentinel_leak():
+    """Regression: a shape shrunk into a corner leaves cells whose Manhattan
+    distance to the interface exceeds max(res) Jacobi passes; those must be
+    clamped to the far-field ceiling, never left at the 1e5 sentinel (which
+    poisons the regularizer and tracer)."""
+    res = 24
+    pts = voxel_centers(res)
+    phi = jnp.linalg.norm(pts - jnp.asarray([0.08, 0.08, 0.08]), axis=-1) - 0.05
+    out = np.asarray(redistance(phi))
+    assert out.max() <= 2.0 + 1e-5, out.max()
+    assert np.isfinite(out).all()
+    # near-surface accuracy still first-order
+    exact = np.asarray(phi)
+    band = np.abs(exact) < 4.0 / res
+    assert np.abs(out - exact)[band].max() < 2.0 / res
