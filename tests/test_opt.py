@@ -173,8 +173,10 @@ def test_multiscale_rendering_schedule_and_resume(tmp_path):
     mc.primal_spp_mult = 2
     oc, _ = get_opt_config("no-tex-3")
     oc.resx = oc.resy = 32
-    oc.sdf_res = 8
-    oc.upsample_iter = ()
+    oc.sdf_res = 16
+    # BOTH schedules active: film res doubles at 3, grid doubles at 4 — the
+    # combination that exposed the redistancing sentinel leak
+    oc.upsample_iter = (4,)
     oc.use_multiscale_rendering = True
     oc.render_upsample_iter = (3,)
     oc.checkpoint_frequency = 2
@@ -185,6 +187,7 @@ def test_multiscale_rendering_schedule_and_resume(tmp_path):
     res = optimize_shape("sphere", oc, mc, output_dir=out, ref_spp=8, n_iter=6,
                          target_res=16, verbose=False)
     assert np.isfinite(res.loss_values).all() and len(res.loss_values) == 6
+    assert max(res.loss_values) < 10.0, res.loss_values  # no sentinel blowup
 
     res2 = optimize_shape("sphere", oc, mc, output_dir=out, ref_spp=8, n_iter=6,
                           target_res=16, verbose=False, resume_from=4)
