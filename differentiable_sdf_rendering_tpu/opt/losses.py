@@ -53,3 +53,14 @@ def downsample_half(img):
     h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
     x = img[:h, :w]
     return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2] + x[1::2, 1::2])
+
+
+def ema_smooth(values, beta: float = 0.9):
+    """Exponential-moving-average smoothing for loss curves (the reference's
+    figure styling helper, figures/common.py:148-156)."""
+    import numpy as _np
+
+    out = _np.asarray(values, dtype=_np.float64).copy()
+    for i in range(1, len(out)):
+        out[i] = beta * out[i - 1] + (1.0 - beta) * out[i]
+    return out
