@@ -177,9 +177,9 @@ def _main_with_fallback():
     import subprocess
 
     ladder = [
-        (os.environ.get("BENCH_SCALE", "medium"), {}, 2400),
-        ("small", {}, 1200),
-        ("small", {"JAX_PLATFORMS": "cpu", "BENCH_LOCAL_CPU": "1"}, 1200),
+        (os.environ.get("BENCH_SCALE", "medium"), {}, 1500),
+        ("small", {}, 900),
+        ("small", {"JAX_PLATFORMS": "cpu", "BENCH_LOCAL_CPU": "1"}, 1000),
     ]
     for scale, extra_env, tmo in ladder:
         env = {**os.environ, "BENCH_SCALE": scale, "BENCH_CHILD": "1", **extra_env}
