@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.film import BORDER, develop, splat
-from ..ops.interaction import compute_surface_interaction
+from ..ops.interaction import compute_surface_interaction, coordinate_frame
 from ..ops.sampling import lane_uniforms, mis_weight
 from ..ops.sdf import TraceParams
 from ..ops.trace import sphere_trace
@@ -72,23 +72,70 @@ class RenderConfig:
 
 
 def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None):
-    """SDF hybrid intersect (reparam.py:201-232, SDF-only scenes): returns
-    (its_t, d_reparam, det)."""
+    """Hybrid intersect (reparam.py:201-232): SDF sphere trace merged with
+    the optional auxiliary TriangleMesh by nearest t.  Returns
+    (its_t, d_reparam, det, mesh_aux) where ``mesh_aux`` is None for
+    pure-SDF scenes and ``(mesh_t, mesh_n)`` otherwise."""
     reparam = mode != "primal" and cfg.use_warp and cfg.warp_kind != "dummy"
     if reparam and cfg.warp.max_reparam_depth >= 0 and depth > cfg.warp.max_reparam_depth:
         reparam = False
     if not reparam:
         its_t = sphere_trace(scene.sdf, o, d, cfg.trace)
-        return its_t, d, jnp.ones(o.shape[:-1], o.dtype)
-    if cfg.warp_kind == "conv":
+        d1, det = d, jnp.ones(o.shape[:-1], o.dtype)
+    elif cfg.warp_kind == "conv":
         from ..ops.warp_conv import conv_reparameterize
 
         its_t = sphere_trace(scene.sdf, o, d, cfg.trace)
         n_aux = cfg.conv.n_aux_rays
         u = uni_conv.reshape(uni_conv.shape[:-1] + (n_aux, 2))
         d1, det = conv_reparameterize(scene.sdf, o, d, u, cfg.conv, cfg.trace)
-        return its_t, d1, det
-    return reparameterize(scene.sdf, o, d, cfg.warp, cfg.trace)
+    else:
+        its_t, d1, det = reparameterize(scene.sdf, o, d, cfg.warp, cfg.trace)
+    if scene.mesh is None:
+        return its_t, d1, det, None
+    from ..ops.mesh_intersect import mesh_intersect
+
+    # Intersect the *reparameterized* ray, like the reference's hybrid path
+    # (reparam.py:218-223): mesh radiance seen past a moving SDF silhouette
+    # then carries the correct boundary gradient through d1.
+    mt, mn = mesh_intersect(scene.mesh, o, d1)
+    its_t = jnp.minimum(its_t, mt)
+    return its_t, d1, det, (mt, mn)
+
+
+def _compute_si(scene, o, d1, its_t, maux, differentiable):
+    """Surface interaction of the merged hit: SDF SI, overridden on lanes
+    whose nearest hit is the mesh (geometric mesh normal, hit point
+    attached through d1 and the Möller–Trumbore t).  Returns (si, is_mesh)."""
+    si = compute_surface_interaction(scene.sdf, o, d1, its_t, differentiable=differentiable)
+    if maux is None:
+        return si, jnp.zeros(its_t.shape, bool)
+    mt, mn = maux
+    is_mesh = jnp.isfinite(mt) & (mt <= its_t)
+    t_m = jnp.where(is_mesh, mt, 0.0)
+    p_m = o + t_m[..., None] * d1
+    n_m = mn
+    s_m, b_m = coordinate_frame(jax.lax.stop_gradient(n_m))
+    m3 = is_mesh[..., None]
+    si = si.replace(
+        valid=si.valid | is_mesh,
+        t=jnp.where(is_mesh, t_m, si.t),
+        p=jnp.where(m3, p_m, si.p),
+        n=jnp.where(m3, n_m, si.n),
+        s=jnp.where(m3, s_m, si.s),
+        b=jnp.where(m3, b_m, si.b),
+    )
+    # wi lives in the local frame — recompute it in the overridden frame
+    si = si.replace(wi=jnp.where(m3, si.to_local(-d1), si.wi))
+    return si, is_mesh
+
+
+def _mesh_diffuse(scene, wo_local):
+    """Lambertian eval/pdf of the auxiliary mesh's own BSDF — mixed scenes
+    give extra geometry a BSDF distinct from the SDF's (result_utils.py
+    studio rig)."""
+    cos = jnp.maximum(wo_local[..., 2], 0.0)
+    return scene.mesh.albedo * (cos / jnp.pi)[..., None], cos / jnp.pi
 
 
 def _conv_uni(uni, cfg, depth):
@@ -99,15 +146,15 @@ def _conv_uni(uni, cfg, depth):
 
 
 def _sample_silhouette(scene, o, d, uni, cfg, mode):
-    its_t, d1, det = _ray_intersect(scene, o, d, 0, cfg, mode, _conv_uni(uni, cfg, 0))
+    its_t, d1, det, _ = _ray_intersect(scene, o, d, 0, cfg, mode, _conv_uni(uni, cfg, 0))
     hit = jnp.isfinite(its_t).astype(o.dtype)
     rgb = (hit * det)[..., None] * jnp.ones((3,), o.dtype)
     return rgb, jnp.ones_like(hit, bool), det, d1
 
 
 def _sample_simple_shading(scene, o, d, uni, cfg, mode):
-    its_t, d1, det = _ray_intersect(scene, o, d, 0, cfg, mode, _conv_uni(uni, cfg, 0))
-    si = compute_surface_interaction(scene.sdf, o, d1, its_t, differentiable=mode != "primal")
+    its_t, d1, det, maux = _ray_intersect(scene, o, d, 0, cfg, mode, _conv_uni(uni, cfg, 0))
+    si, _ = _compute_si(scene, o, d1, its_t, maux, differentiable=mode != "primal")
     l_dir = normalize(jnp.asarray([1.0, 1.0, 1.0], o.dtype))
     shade = jnp.maximum(jnp.sum(si.n * l_dir, -1), 0.0)
     shade = jnp.where(si.valid, shade, 0.0)
@@ -118,9 +165,9 @@ def _sample_simple_shading(scene, o, d, uni, cfg, mode):
 def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     """Direct illumination with NEE (sdf_direct_reparam.py:16-111)."""
     reparametrize = mode != "primal"
-    its_t, d1, det = _ray_intersect(scene, o, d, 0, cfg, mode, _conv_uni(uni, cfg, 0))
-    si = compute_surface_interaction(
-        scene.sdf, o, d1, its_t,
+    its_t, d1, det, maux = _ray_intersect(scene, o, d, 0, cfg, mode, _conv_uni(uni, cfg, 0))
+    si, is_mesh = _compute_si(
+        scene, o, d1, its_t, maux,
         differentiable=reparametrize and not cfg.debug_nondiff_si,
     )
     if cfg.debug_detach_normals:
@@ -154,7 +201,7 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     else:
         shadow_o = si.p  # attached: nested-reparam (sdf_direct_reparam.py:49)
     shadow_o = shadow_o + ds_d * cfg.shadow_eps
-    occluded_t, _, det_e = _ray_intersect(scene, shadow_o, ds_d, 1, cfg, mode, _conv_uni(uni, cfg, 1))
+    occluded_t, _, det_e, _ = _ray_intersect(scene, shadow_o, ds_d, 1, cfg, mode, _conv_uni(uni, cfg, 1))
     visibility = jnp.where(jnp.isfinite(occluded_t), 0.0, 1.0)
 
     wo = si.to_local(ds_d)
@@ -163,10 +210,16 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     )
     if cfg.use_mis:
         bsdf_val, bsdf_pdf = scene.bsdf.eval_pdf(si, wo)
+        if maux is not None:
+            mesh_val, mesh_pdf = _mesh_diffuse(scene, wo)
+            bsdf_val = jnp.where(is_mesh[..., None], mesh_val, bsdf_val)
+            bsdf_pdf = jnp.where(is_mesh, mesh_pdf, bsdf_pdf)
         w_mis = mis_weight(ds_pdf, jax.lax.stop_gradient(bsdf_pdf))
         nee = visibility[..., None] * bsdf_val * emitter_val * w_mis[..., None]
     else:
         bsdf_val = scene.bsdf.eval(si, wo)
+        if maux is not None:
+            bsdf_val = jnp.where(is_mesh[..., None], _mesh_diffuse(scene, wo)[0], bsdf_val)
         nee = visibility[..., None] * bsdf_val * emitter_val
     nee_throughput = (
         jax.lax.stop_gradient(throughput) if cfg.debug_detach_nee_throughput else throughput
@@ -182,9 +235,14 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
         active_b = si.valid & (bs_pdf > 0)
         bsdf_d = jax.lax.stop_gradient(si_det.to_world(bs_wo))
         bsdf_o = si.p + bsdf_d * cfg.shadow_eps
-        t_b, d_b, det_b = _ray_intersect(scene, bsdf_o, bsdf_d, 1, cfg, mode, _conv_uni(uni, cfg, 2))
+        t_b, d_b, det_b, _ = _ray_intersect(scene, bsdf_o, bsdf_d, 1, cfg, mode, _conv_uni(uni, cfg, 2))
         escaped = ~jnp.isfinite(t_b)
         bsdf_val = scene.bsdf.eval(si, bs_wo)
+        if maux is not None:
+            # mesh lanes: Lambertian f with the mesh albedo; bs_pdf stays the
+            # sampler's true pdf, so the estimator remains unbiased (for the
+            # default diffuse scene BSDF the cosine sampler matches exactly)
+            bsdf_val = jnp.where(is_mesh[..., None], _mesh_diffuse(scene, bs_wo)[0], bsdf_val)
         emitter_pdf = scene.emitter.pdf_direction(bsdf_d)
         L_b = scene.emitter.eval(d_b)
         w_mis_b = mis_weight(bs_pdf, emitter_pdf)

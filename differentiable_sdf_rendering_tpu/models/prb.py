@@ -135,6 +135,11 @@ def sample_prb(scene, o, d, uni, cfg, mode):
     Returns (rgb, valid, det_primary, d1_primary) like the other
     integrators; in grad mode the rgb carries per-vertex attached terms.
     """
+    if scene.mesh is not None:
+        raise NotImplementedError(
+            "hybrid SDF+mesh scenes are not supported by sdf_prb_reparam "
+            "yet; use integrator='sdf_direct_reparam' for mixed scenes."
+        )
     recs, L_primal = _trace_primal(scene, o, d, uni, cfg)
     valid_ray = recs[0]["valid"] | (not cfg.hide_emitters)
     if mode == "primal":

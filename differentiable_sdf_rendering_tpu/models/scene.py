@@ -10,6 +10,8 @@ selecting leaves).
 
 from __future__ import annotations
 
+from typing import Any
+
 from flax import struct
 
 from ..ops.sdf import GridSDF
@@ -26,15 +28,21 @@ class Scene:
     bsdf: DiffuseBSDF
     emitter: ConstantEmitter
     cameras: PerspectiveCamera
+    # Optional auxiliary TriangleMesh for mixed scenes (the reference's
+    # OptiX-traced extra shapes, reparam.py:201-232); None = pure-SDF scene
+    # and the mesh path is compiled out entirely.
+    mesh: Any = None
 
     @classmethod
-    def create(cls, sdf_data, bsdf=None, emitter=None, cameras=None, n_views=12, res=128):
+    def create(cls, sdf_data, bsdf=None, emitter=None, cameras=None, n_views=12, res=128,
+               mesh=None):
         sdf = sdf_data if isinstance(sdf_data, GridSDF) else GridSDF.create(sdf_data)
         return cls(
             sdf=sdf,
             bsdf=bsdf if bsdf is not None else DiffuseBSDF.create(),
             emitter=emitter if emitter is not None else ConstantEmitter.create(),
             cameras=cameras if cameras is not None else regular_cameras(n_views, resx=res, resy=res),
+            mesh=mesh,
         )
 
     @property

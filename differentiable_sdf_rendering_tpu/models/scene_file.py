@@ -11,6 +11,8 @@ Here a scene is a JSON file::
       "emitter": {"type": "gradient_envmap"}   // | constant | vmf | envmap_png
       "cameras": {"type": "regular", "n": 12, "resx": 128, "resy": 128}
                                                // | {"type": "lookat", "origins": [...], "target": [...]}
+      "mesh": {"type": "floor", "height": 0.1, "albedo": [0.6, 0.6, 0.6]}
+                                               // optional mixed-scene geometry; | {"obj": "floor.obj"}
     }
 
 Relative asset paths resolve against the JSON file's directory.  Template
@@ -77,6 +79,29 @@ def _load_emitter(spec, base_dir):
     return make_gradient_envmap()
 
 
+def _load_mesh(spec, base_dir):
+    """Optional auxiliary TriangleMesh for mixed scenes (the reference's
+    extra XML shapes traced by OptiX, reparam.py:201-232)."""
+    if spec is None:
+        return None
+    from ..ops.mesh_intersect import TriangleMesh
+
+    albedo = tuple(spec.get("albedo", (0.5, 0.5, 0.5)))
+    if "obj" in spec:
+        from ..utils.mesh import load_obj
+
+        verts, faces = load_obj(os.path.join(base_dir, spec["obj"]))
+        return TriangleMesh.create(verts, faces, albedo)
+    kind = spec.get("type", "floor")
+    if kind != "floor":
+        raise ValueError(f"unknown mesh type {kind!r} (expected 'floor' or an 'obj' entry)")
+    return TriangleMesh.floor(
+        height=spec.get("height", 0.0),
+        half_extent=spec.get("half_extent", 10.0),
+        albedo=albedo,
+    )
+
+
 def _load_cameras(spec, resx=None, resy=None):
     rx = resx or spec.get("resx", 128)
     ry = resy or spec.get("resy", 128)
@@ -106,4 +131,5 @@ def load_scene_file(path: str, resx: int | None = None, resy: int | None = None,
         bsdf=_load_bsdf(spec.get("bsdf", {})),
         emitter=_load_emitter(spec.get("emitter", {}), base_dir),
         cameras=_load_cameras(spec.get("cameras", {}), resx, resy),
+        mesh=_load_mesh(spec.get("mesh"), base_dir),
     )

@@ -1,0 +1,136 @@
+"""Batched triangle-mesh ray intersection for hybrid SDF+mesh scenes.
+
+TPU-native counterpart of the reference's OptiX-backed hybrid intersect
+(``/root/reference/python/integrators/reparam.py:201-232``): the reference
+merges SDF hits with hardware-BVH mesh hits by nearest t.  A BVH is the
+wrong tool on TPU (irregular pointer chasing defeats the VPU/MXU); the
+mixed scenes the reference actually uses carry *small* auxiliary meshes
+(floor planes, studio backdrops — ``figures/result_utils.py:48-76``), so we
+intersect the full triangle soup as one dense batched Möller–Trumbore
+computation: rays broadcast against triangle chunks, minimum over
+triangles.  For the few-hundred-triangle meshes involved this is a
+bandwidth-friendly, perfectly regular workload that XLA vectorizes flat.
+
+The intersection distance is differentiable w.r.t. the ray (origin and
+direction) through the Möller–Trumbore solve, so attached shadow-ray
+origins and reparameterized directions keep their gradients; mesh geometry
+itself is held fixed (the reference never differentiates its auxiliary
+meshes either).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+__all__ = ["TriangleMesh", "mesh_intersect"]
+
+_EPS = 1e-9
+
+
+@struct.dataclass
+class TriangleMesh:
+    """Triangle soup in precomputed edge form (v0 + u·e1 + v·e2).
+
+    ``albedo`` is the mesh surface's Lambertian reflectance — mixed scenes
+    give auxiliary geometry its own BSDF, distinct from the SDF's
+    (reference ``figures/result_utils.py:60-76``).
+    """
+
+    v0: jnp.ndarray      # (T, 3)
+    e1: jnp.ndarray      # (T, 3)
+    e2: jnp.ndarray      # (T, 3)
+    n: jnp.ndarray       # (T, 3) unit geometric normals
+    albedo: jnp.ndarray  # (3,)
+
+    @classmethod
+    def create(cls, vertices, faces, albedo=(0.5, 0.5, 0.5)):
+        v = jnp.asarray(vertices, jnp.float32)
+        f = np.asarray(faces, np.int32)
+        v0, v1, v2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+        e1, e2 = v1 - v0, v2 - v0
+        n = jnp.cross(e1, e2)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), _EPS)
+        return cls(v0=v0, e1=e1, e2=e2, n=n, albedo=jnp.asarray(albedo, jnp.float32))
+
+    @classmethod
+    def floor(cls, height=0.0, half_extent=10.0, albedo=(0.5, 0.5, 0.5),
+              center_xz=(0.5, 0.5)):
+        """Axis-aligned y=height quad — the canonical auxiliary mesh,
+        centered under the unit-cube SDF domain by default."""
+        h, s = float(height), float(half_extent)
+        cx, cz = (float(c) for c in center_xz)
+        verts = [[cx - s, h, cz - s], [cx + s, h, cz - s],
+                 [cx + s, h, cz + s], [cx - s, h, cz + s]]
+        return cls.create(verts, [[0, 2, 1], [0, 3, 2]], albedo)
+
+    @property
+    def n_triangles(self):
+        return self.v0.shape[0]
+
+
+def _intersect_chunk(v0, e1, e2, tn, o, d, mint, maxt):
+    """Möller–Trumbore of rays (..., 3) against a (C, 3) triangle chunk.
+
+    Returns the per-lane nearest (t, normal) over the chunk, t = +inf miss.
+    """
+    ox = o[..., None, :]          # (..., 1, 3)
+    dx = d[..., None, :]
+    pvec = jnp.cross(dx, e2)      # (..., C, 3)
+    det = jnp.sum(pvec * e1, -1)  # (..., C)
+    det_safe = jnp.where(jnp.abs(det) > _EPS, det, 1.0)  # NaN-free VJP on degenerate lanes
+    inv_det = jnp.where(jnp.abs(det) > _EPS, 1.0 / det_safe, 0.0)
+    tvec = ox - v0
+    u = jnp.sum(tvec * pvec, -1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(dx * qvec, -1) * inv_det
+    t = jnp.sum(e2 * qvec, -1) * inv_det
+    hit = (
+        (jnp.abs(det) > _EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > mint[..., None])
+        & (t < maxt[..., None])
+    )
+    t = jnp.where(hit, t, jnp.inf)
+    j = jnp.argmin(jax.lax.stop_gradient(t), axis=-1)       # (...,)
+    t_best = jnp.take_along_axis(t, j[..., None], -1)[..., 0]
+    n_best = tn[j]                                          # (..., 3)
+    return t_best, n_best
+
+
+def mesh_intersect(mesh: TriangleMesh, o, d, mint=1e-4, maxt=jnp.inf, chunk: int = 128):
+    """Nearest-hit distance and geometric normal of rays against ``mesh``.
+
+    Rays ``o``/``d``: (..., 3).  Returns ``(t, n)`` with ``t = +inf`` on
+    miss and a zero-safe normal.  Triangles are processed in static chunks
+    via ``lax.scan`` so lane-count × triangle-count intermediates stay
+    bounded (the wavefront is already large).  The normal is oriented to
+    face the ray (two-sided, like the reference's auxiliary geometry).
+    """
+    mint = jnp.broadcast_to(jnp.asarray(mint, o.dtype), o.shape[:-1])
+    maxt = jnp.broadcast_to(jnp.asarray(maxt, o.dtype), o.shape[:-1])
+    T = mesh.n_triangles
+    if T <= chunk:
+        t, n = _intersect_chunk(mesh.v0, mesh.e1, mesh.e2, mesh.n, o, d, mint, maxt)
+    else:
+        pad = (-T) % chunk
+        def padded(x):
+            return jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], 0) if pad else x
+        v0, e1, e2, tn = (padded(x).reshape(-1, chunk, 3)
+                          for x in (mesh.v0, mesh.e1, mesh.e2, mesh.n))
+        # degenerate padding triangles (e1 = e2 = 0) never report a hit
+
+        def body(carry, tri):
+            tb, nb = carry
+            tc, nc = _intersect_chunk(*tri, o, d, mint, maxt)
+            closer = tc < tb
+            return (jnp.where(closer, tc, tb), jnp.where(closer[..., None], nc, nb)), None
+
+        init = (jnp.full(o.shape[:-1], jnp.inf, o.dtype), jnp.zeros(o.shape, o.dtype))
+        (t, n), _ = jax.lax.scan(body, init, (v0, e1, e2, tn))
+    n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0.0, -n, n)
+    return t, n

@@ -1,0 +1,170 @@
+"""Hybrid SDF+mesh intersection (reference reparam.py:201-232).
+
+The reference merges OptiX mesh hits with SDF sphere-trace hits by nearest
+t; here the mesh path is a dense batched Möller–Trumbore
+(``ops/mesh_intersect.py``) merged inside ``models.integrator._ray_intersect``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from differentiable_sdf_rendering_tpu.models.integrator import RenderConfig, render
+from differentiable_sdf_rendering_tpu.models.scene import Scene
+from differentiable_sdf_rendering_tpu.ops.initializers import create_sphere_sdf
+from differentiable_sdf_rendering_tpu.ops.mesh_intersect import TriangleMesh, mesh_intersect
+from differentiable_sdf_rendering_tpu.utils.mesh import icosphere
+
+
+def test_floor_quad_matches_analytic_plane():
+    mesh = TriangleMesh.floor(height=0.2, half_extent=1.0, center_xz=(0.0, 0.0))
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform([-0.8, 1.0, -0.8], [0.8, 2.0, 0.8], (64, 3)), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (64, 1))
+    t, n = mesh_intersect(mesh, o, d)
+    t_ref = o[:, 1] - 0.2
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref), rtol=1e-5)
+    # two-sided normal faces the (downward) ray
+    np.testing.assert_allclose(np.asarray(n), np.tile([[0.0, 1.0, 0.0]], (64, 1)), atol=1e-6)
+    # outside the quad extent: miss
+    o_out = o + jnp.asarray([10.0, 0.0, 0.0], jnp.float32)
+    t_out, _ = mesh_intersect(mesh, o_out, d)
+    assert np.all(np.isinf(np.asarray(t_out)))
+
+
+def test_chunked_scan_matches_single_chunk():
+    verts, faces = icosphere(subdiv=2)  # 320 triangles > default chunk
+    mesh = TriangleMesh.create(verts, faces)
+    assert mesh.n_triangles > 128
+    rng = np.random.default_rng(1)
+    o = jnp.asarray(rng.uniform(-0.5, 1.5, (128, 3)), jnp.float32)
+    to_c = jnp.asarray([0.5, 0.5, 0.5], jnp.float32) - o
+    d = to_c / jnp.linalg.norm(to_c, axis=-1, keepdims=True)
+    t_chunked, n_chunked = mesh_intersect(mesh, o, d, chunk=64)
+    t_flat, n_flat = mesh_intersect(mesh, o, d, chunk=4096)
+    np.testing.assert_allclose(np.asarray(t_chunked), np.asarray(t_flat), rtol=1e-6)
+    hit = np.isfinite(np.asarray(t_flat))
+    assert hit.any()
+    np.testing.assert_allclose(
+        np.asarray(n_chunked)[hit], np.asarray(n_flat)[hit], atol=1e-6
+    )
+    # rays toward the sphere's center hit near radius 0.3 (only meaningful
+    # for origins well outside the sphere)
+    dist = np.linalg.norm(np.asarray(to_c), axis=-1)
+    far = hit & (dist > 0.5)
+    assert far.any()
+    np.testing.assert_allclose(
+        np.asarray(t_flat)[far], dist[far] - 0.3, atol=0.02  # chord error
+    )
+
+
+def _hybrid_scene(res=24, film=32):
+    sdf = create_sphere_sdf(res, center=(0.5, 0.65, 0.5), radius=0.18)
+    floor = TriangleMesh.floor(height=0.15, half_extent=4.0, albedo=(0.6, 0.6, 0.6))
+    scene = Scene.create(sdf, n_views=4, res=film, mesh=floor)
+    return scene
+
+
+def test_hybrid_render_floor_shading_and_contact_shadow():
+    scene = _hybrid_scene()
+    cfg = RenderConfig(integrator="sdf_direct_reparam", spp=4)
+    img = np.asarray(render(scene, view_idx=0, cfg=cfg))[..., :3]
+    img0 = np.asarray(render(scene.replace(mesh=None), view_idx=0, cfg=cfg))[..., :3]
+    assert np.isfinite(img).all()
+    # the gray floor (albedo 0.6) replaces the unit-radiance environment
+    # over much of the frame ⇒ distinctly darker image
+    assert img.mean() < img0.mean() - 0.1
+    # NEE shadow rays from floor points under the sphere are occluded by the
+    # SDF ⇒ a contact shadow appears (near-black minimum); the pure-SDF
+    # image has no such dark region
+    assert img.min() < 0.1 < img0.min()
+
+
+def test_hybrid_merge_is_nearest_t():
+    from differentiable_sdf_rendering_tpu.models.integrator import _ray_intersect
+    from differentiable_sdf_rendering_tpu.ops.trace import sphere_trace
+
+    scene = _hybrid_scene()
+    cfg = RenderConfig(integrator="sdf_direct_reparam", spp=1)
+    # ray 0 (down through sphere + floor): sphere (y≈0.83) wins over floor
+    # (y=0.15); ray 1 (down, next to sphere): floor wins; ray 2 (down, far
+    # outside the SDF grid): floor only; ray 3 (UP from below): the floor
+    # occludes the sphere — mesh-in-front-of-SDF
+    o = jnp.asarray(
+        [[0.5, 2.0, 0.5], [0.1, 2.0, 0.1], [3.0, 2.0, 3.0], [0.5, -1.0, 0.5]],
+        jnp.float32,
+    )
+    d = jnp.asarray(
+        [[0.0, -1.0, 0.0]] * 3 + [[0.0, 1.0, 0.0]], jnp.float32
+    )
+    t_sdf = sphere_trace(scene.sdf, o, d, cfg.trace)
+    t_hyb, _, _, (t_mesh, _) = _ray_intersect(scene, o, d, 0, cfg, "primal")
+    t_sdf, t_hyb, t_mesh = (np.asarray(x) for x in (t_sdf, t_hyb, t_mesh))
+    np.testing.assert_allclose(t_hyb, np.minimum(t_sdf, t_mesh), rtol=1e-6)
+    assert t_sdf[0] < t_mesh[0]                       # SDF in front of mesh
+    assert np.isinf(t_sdf[2]) and np.isfinite(t_mesh[2])
+    assert t_mesh[3] < t_sdf[3] and t_hyb[3] == t_mesh[3]  # mesh occludes SDF
+
+
+def test_hybrid_grad_mode_finite_and_nonzero():
+    scene = _hybrid_scene(res=16, film=24)
+    cfg = RenderConfig(integrator="sdf_direct_reparam", spp=4)
+
+    def loss(data):
+        sc = scene.replace(sdf=scene.sdf.with_data(data))
+        img = render(sc, view_idx=0, cfg=cfg, mode="grad")
+        return jnp.mean(img[..., :3])
+
+    g = jax.grad(loss)(scene.sdf.data)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
+
+
+def test_mesh_t_differentiable_wrt_ray():
+    mesh = TriangleMesh.floor(height=0.25)
+    o = jnp.asarray([0.3, 1.0, 0.4], jnp.float32)
+    d = jnp.asarray([0.0, -1.0, 0.0], jnp.float32)
+
+    def f(oy):
+        t, _ = mesh_intersect(mesh, o.at[1].set(oy)[None], d[None])
+        return t[0]
+
+    g = jax.grad(f)(jnp.float32(1.0))
+    np.testing.assert_allclose(float(g), 1.0, rtol=1e-5)  # t = oy - 0.25
+
+
+def test_scene_file_mesh_entry(tmp_path):
+    import json
+
+    from differentiable_sdf_rendering_tpu.models.scene_file import load_scene_file
+
+    spec = {
+        "sdf": {"procedural": "sphere", "res": 16},
+        "mesh": {"type": "floor", "height": 0.12, "albedo": [0.6, 0.5, 0.4]},
+        "cameras": {"type": "regular", "n": 2, "resx": 16, "resy": 16},
+    }
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(spec))
+    scene = load_scene_file(str(p))
+    assert scene.mesh is not None and scene.mesh.n_triangles == 2
+    np.testing.assert_allclose(np.asarray(scene.mesh.albedo), [0.6, 0.5, 0.4])
+    np.testing.assert_allclose(float(scene.mesh.v0[0, 1]), 0.12)
+    # no mesh key ⇒ pure-SDF scene
+    p2 = tmp_path / "scene2.json"
+    p2.write_text(json.dumps({k: v for k, v in spec.items() if k != "mesh"}))
+    assert load_scene_file(str(p2)).mesh is None
+    # unknown mesh type ⇒ clear error, not a silent floor fallback
+    spec["mesh"] = {"type": "wall"}
+    p3 = tmp_path / "scene3.json"
+    p3.write_text(json.dumps(spec))
+    with pytest.raises(ValueError, match="unknown mesh type"):
+        load_scene_file(str(p3))
+
+
+def test_prb_rejects_mesh_scene():
+    scene = _hybrid_scene(res=16, film=16)
+    cfg = RenderConfig(integrator="sdf_prb_reparam", spp=1)
+    with pytest.raises(NotImplementedError):
+        render(scene, view_idx=0, cfg=cfg)
