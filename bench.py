@@ -169,11 +169,27 @@ def main():
     print(json.dumps(result))
 
 
+def _probe():
+    """Child-process pre-flight: compile + run one trivial op on the default
+    platform.  A healthy chip answers in ~1-90 s; a crashed worker's compile
+    helper hangs indefinitely (CLAUDE.md), which the parent's timeout
+    converts into 'dead'."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: (x * 2.0).sum())
+    assert float(f(jnp.ones((8, 8)))) == 128.0
+    print("probe-ok", jax.devices()[0].platform)
+    return 0
+
+
 def _main_with_fallback():
     """Watchdog driver: each scale runs in a subprocess with a hard timeout
     (the remote TPU's compile helper has been observed to hang indefinitely
-    after worker crashes — see CLAUDE.md).  Falls back medium → small →
-    local CPU, so the unattended round-end run always emits ONE JSON line."""
+    after worker crashes — see CLAUDE.md).  A 300 s pre-flight probe skips
+    the device rungs entirely when the worker is dead, then falls back
+    medium → small → local CPU, so the unattended round-end run always
+    emits ONE JSON line — in ~15 min instead of ~55 when the TPU is down."""
     import subprocess
 
     ladder = [
@@ -181,6 +197,22 @@ def _main_with_fallback():
         ("small", {}, 900),
         ("small", {"JAX_PLATFORMS": "cpu", "BENCH_LOCAL_CPU": "1"}, 1000),
     ]
+    if os.environ.get("BENCH_LOCAL_CPU") == "1" or os.environ.get("JAX_PLATFORMS") == "cpu":
+        alive = True  # everything runs locally anyway; nothing to probe
+    else:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, timeout=300,
+                env={**os.environ, "BENCH_PROBE": "1"},
+            )
+            alive = r.returncode == 0 and "probe-ok" in r.stdout
+        except subprocess.TimeoutExpired:
+            alive = False
+    if not alive:
+        print("[bench] device pre-flight probe failed; falling straight to "
+              "the local-CPU rung", file=sys.stderr)
+        ladder = [rung for rung in ladder if rung[1].get("JAX_PLATFORMS") == "cpu"]
     for scale, extra_env, tmo in ladder:
         env = {**os.environ, "BENCH_SCALE": scale, "BENCH_CHILD": "1", **extra_env}
         try:
@@ -208,6 +240,8 @@ def _main_with_fallback():
 
 
 if __name__ == "__main__":
+    if os.environ.get("BENCH_PROBE") == "1":
+        sys.exit(_probe())
     if os.environ.get("BENCH_CHILD") == "1":
         if os.environ.get("BENCH_LOCAL_CPU") == "1":
             try:
