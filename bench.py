@@ -186,7 +186,7 @@ def _probe():
 def _main_with_fallback():
     """Watchdog driver: each scale runs in a subprocess with a hard timeout
     (the remote TPU's compile helper has been observed to hang indefinitely
-    after worker crashes — see CLAUDE.md).  A 300 s pre-flight probe skips
+    after worker crashes — see CLAUDE.md).  A 480 s pre-flight probe skips
     the device rungs entirely when the worker is dead, then falls back
     medium → small → local CPU, so the unattended round-end run always
     emits ONE JSON line — in ~15 min instead of ~55 when the TPU is down."""
@@ -201,9 +201,12 @@ def _main_with_fallback():
         alive = True  # everything runs locally anyway; nothing to probe
     else:
         try:
+            # 480 s: the degraded compile helper has been observed to take
+            # >200 s for even a trivial jit while still completing the
+            # medium protocol fine — don't false-negative to CPU
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                capture_output=True, text=True, timeout=300,
+                capture_output=True, text=True, timeout=480,
                 env={**os.environ, "BENCH_PROBE": "1"},
             )
             alive = r.returncode == 0 and "probe-ok" in r.stdout
