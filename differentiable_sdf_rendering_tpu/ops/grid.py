@@ -30,34 +30,54 @@ _HI = jax.lax.Precision.HIGHEST
 
 __all__ = [
     "bspline_weights",
+    "build_stencil",
     "grid_eval",
     "grid_eval_grad",
     "grid_eval_all",
     "grid_eval_trilinear",
-    "pad_amount",
-    "pad_grid",
+    "stencil_ok",
 ]
 
 
-def pad_amount(res: int) -> int:
-    """Edge padding for the contiguous-fetch path.  A constant 4 suffices
-    for ARBITRARY query positions: the 4-wide window start is clipped into
-    the padded table, and with edge replication ``padded[j] ==
-    data[clip(j - 4)]`` holds for every j, so clipped window taps coincide
-    exactly with per-tap clamping (verified bit-exact for queries many
-    cubes outside the grid)."""
-    del res
-    return 4
+# Stencil tables are gated by grid size: (dim+3)³ rows × 64 floats is a
+# 64× memory blow-up (77 MB at 64³, 575 MB at 128³ — fine; 4.5 GB at 256³ —
+# not, the v5e has 15.75 GB HBM and big buffers have crashed the worker).
+_STENCIL_MAX_VOXELS = (128 + 3) ** 3 + 1
 
 
-def pad_grid(data: jnp.ndarray) -> jnp.ndarray:
-    """Edge-replicate pad so that ``padded[j] == data[clip(j - pf, 0, n-1)]``
-    — the padded array *is* the clamped lookup table, enabling contiguous
-    4-wide x-fetches instead of 64 scalar gathers (see ``_tap_setup``)."""
-    pz = pad_amount(data.shape[-3])
-    py = pad_amount(data.shape[-2])
-    px = pad_amount(data.shape[-1])
-    return jnp.pad(data, ((pz, pz), (py, py), (px, px)), mode="edge")
+def stencil_ok(data) -> bool:
+    """Whether a stencil table for this grid fits the HBM budget."""
+    z, y, x = data.shape[-3], data.shape[-2], data.shape[-1]
+    return (z + 3) * (y + 3) * (x + 3) <= _STENCIL_MAX_VOXELS
+
+
+def build_stencil(data: jnp.ndarray) -> jnp.ndarray:
+    """Stencil table: every 4×4×4 interpolation window as ONE contiguous
+    64-float row.
+
+    TPU-native gather optimization: XLA's TPU gather runs on the scalar
+    core, so its cost scales with the number of gather *rows*, not bytes —
+    64 scalar taps per query cost ~11× more than one contiguous 64-wide row
+    (measured on v5e: 36.5 ms vs 3.2 ms for 74k queries on a 64³ grid).
+    The table covers base indices in [-2, dim] per axis (row index =
+    clamped base + 2): bases ≤ −2 and ≥ dim produce fully-clamped windows
+    identical to the boundary rows, so clipping the base into the table
+    range reproduces Mitsuba per-tap clamp semantics exactly for arbitrary
+    query positions.  Rebuilt per trace call (cheap: 3 ms at 64³) and CSE'd
+    by XLA across the traces of one program.
+    """
+    z, y, x = data.shape[-3], data.shape[-2], data.shape[-1]
+    padded = jnp.pad(data, ((3, 3), (3, 3), (3, 3)), mode="edge")
+    cols = []
+    for a in range(4):
+        for b in range(4):
+            for c in range(4):
+                # stencil[i, j, k][a, b, c] = data[clip(i-2-1+a), ...]
+                #                         = padded[i + a, j + b, k + c]
+                cols.append(
+                    jax.lax.dynamic_slice(padded, (a, b, c), (z + 3, y + 3, x + 3))
+                )
+    return jnp.stack(cols, axis=-1).reshape((z + 3) * (y + 3) * (x + 3), 64)
 
 
 def bspline_weights(f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -97,12 +117,14 @@ def bspline_weights(f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarr
     return w, dw, ddw
 
 
-def _tap_setup(data: jnp.ndarray, p: jnp.ndarray, padded: jnp.ndarray | None = None):
+def _tap_setup(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None = None):
     """Compute tap values (..., 4z, 4y, 4x) and per-axis fractions.
 
-    With ``padded`` (from :func:`pad_grid`) the x-taps are fetched as one
-    contiguous 4-wide ``lax.gather`` row per (z, y) pair — 16 gather rows
-    instead of 64 scalar gathers, exactly equivalent to the clamped path.
+    With ``stencil`` (from :func:`build_stencil`) the whole 4×4×4 window is
+    fetched as ONE contiguous 64-float gather row per query instead of 64
+    scalar gathers — the dominant trace-loop cost on TPU, where gather
+    throughput is bounded by row count (scalar core), ~11× measured.
+    Exactly equivalent to the per-tap clamped path for arbitrary queries.
     """
     zres, yres, xres = data.shape[-3], data.shape[-2], data.shape[-1]
     res = jnp.asarray([xres, yres, zres], dtype=p.dtype)
@@ -111,7 +133,7 @@ def _tap_setup(data: jnp.ndarray, p: jnp.ndarray, padded: jnp.ndarray | None = N
     f = c - base
     base = base.astype(jnp.int32)
 
-    if padded is None:
+    if stencil is None:
         offs = jnp.arange(-1, 3, dtype=jnp.int32)
         ix = jnp.clip(base[..., 0:1] + offs, 0, xres - 1)  # (..., 4)
         iy = jnp.clip(base[..., 1:2] + offs, 0, yres - 1)
@@ -124,46 +146,21 @@ def _tap_setup(data: jnp.ndarray, p: jnp.ndarray, padded: jnp.ndarray | None = N
         taps = jnp.take(data.reshape(-1), lin, axis=0)
         return taps, f, res
 
-    pz, py, px = pad_amount(zres), pad_amount(yres), pad_amount(xres)
-    offs = jnp.arange(-1, 3, dtype=jnp.int32)
-    # clip into the padded table; all four taps stay in-range by construction
-    iz = jnp.clip(base[..., 2:3] + offs + pz, 0, padded.shape[-3] - 1)  # (..., 4)
-    iy = jnp.clip(base[..., 1:2] + offs + py, 0, padded.shape[-2] - 1)
-    x0 = jnp.clip(base[..., 0] - 1 + px, 0, padded.shape[-1] - 4)       # (...,)
-
-    batch = p.shape[:-1]
-    flatn = 1
-    for s in batch:
-        flatn *= s
-    izf = iz.reshape(flatn, 4)
-    iyf = iy.reshape(flatn, 4)
-    x0f = x0.reshape(flatn)
-    starts = jnp.concatenate(
-        [
-            jnp.broadcast_to(izf[:, :, None, None], (flatn, 4, 4, 1)),
-            jnp.broadcast_to(iyf[:, None, :, None], (flatn, 4, 4, 1)),
-            jnp.broadcast_to(x0f[:, None, None, None], (flatn, 4, 4, 1)),
-        ],
-        axis=-1,
-    ).reshape(flatn * 16, 3)
-    rows = jax.lax.gather(
-        padded,
-        starts,
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,),
-            collapsed_slice_dims=(0, 1),
-            start_index_map=(0, 1, 2),
-        ),
-        slice_sizes=(1, 1, 4),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # (flatn*16, 4)
-    taps = rows.reshape(batch + (4, 4, 4))
+    # Base clamped into the table range [-2, dim]: windows of bases beyond
+    # it are fully clamped and identical to the boundary rows (see
+    # build_stencil), so this reproduces per-tap clipping exactly.
+    bx = jnp.clip(base[..., 0], -2, xres) + 2
+    by = jnp.clip(base[..., 1], -2, yres) + 2
+    bz = jnp.clip(base[..., 2], -2, zres) + 2
+    lin = (bz * (yres + 3) + by) * (xres + 3) + bx
+    rows = jnp.take(stencil, lin.reshape(-1), axis=0)  # (N, 64)
+    taps = rows.reshape(p.shape[:-1] + (4, 4, 4))
     return taps, f, res
 
 
-def grid_eval(data: jnp.ndarray, p: jnp.ndarray, padded: jnp.ndarray | None = None) -> jnp.ndarray:
+def grid_eval(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None = None) -> jnp.ndarray:
     """Cubic B-spline value at points ``p`` (..., 3) → (...,)."""
-    taps, f, _ = _tap_setup(data, p, padded)
+    taps, f, _ = _tap_setup(data, p, stencil)
     wx, _, _ = bspline_weights(f[..., 0])
     wy, _, _ = bspline_weights(f[..., 1])
     wz, _, _ = bspline_weights(f[..., 2])
@@ -172,9 +169,9 @@ def grid_eval(data: jnp.ndarray, p: jnp.ndarray, padded: jnp.ndarray | None = No
     return jnp.einsum("...z,...z->...", t, wz, precision=_HI)
 
 
-def grid_eval_grad(data: jnp.ndarray, p: jnp.ndarray, padded: jnp.ndarray | None = None):
+def grid_eval_grad(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None = None):
     """Value and spatial gradient → ``(value (...,), grad (..., 3))``."""
-    taps, f, res = _tap_setup(data, p, padded)
+    taps, f, res = _tap_setup(data, p, stencil)
     wx, dwx, _ = bspline_weights(f[..., 0])
     wy, dwy, _ = bspline_weights(f[..., 1])
     wz, dwz, _ = bspline_weights(f[..., 2])
@@ -198,13 +195,13 @@ def grid_eval_grad(data: jnp.ndarray, p: jnp.ndarray, padded: jnp.ndarray | None
     return value, grad
 
 
-def grid_eval_all(data: jnp.ndarray, p: jnp.ndarray, padded: jnp.ndarray | None = None):
+def grid_eval_all(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None = None):
     """Full derivative jet: ``(value (...,), grad (..., 3), hess (..., 3, 3))``.
 
     Equivalent of the reference's ``texture.eval_cubic_hessian``
     (``/root/reference/python/shapes.py:438-450``) in one fused pass.
     """
-    taps, f, res = _tap_setup(data, p, padded)
+    taps, f, res = _tap_setup(data, p, stencil)
     wx, dwx, ddwx = bspline_weights(f[..., 0])
     wy, dwy, ddwy = bspline_weights(f[..., 1])
     wz, dwz, ddwz = bspline_weights(f[..., 2])

@@ -49,6 +49,12 @@ class TraceParams:
     max_steps: int = 192
     refine_steps: int = 10
     bbox_expand: float = 0.05
+    # Active-lane compaction schedule for the trace while_loop (see
+    # ops/trace._staged_while): run the full batch until ≤ N/8 lanes remain,
+    # gather the stragglers into an N/8 buffer, continue, then N/64.
+    # Trip-count skew makes the lockstep wavefront pay the worst lane's
+    # steps for the whole batch; compaction bounds that cost.  () = off.
+    compact_stages: tuple = (8, 64)
 
 
 @struct.dataclass
@@ -63,7 +69,7 @@ class GridSDF:
 
     data: jnp.ndarray
     p: jnp.ndarray
-    padded: jnp.ndarray | None = None  # pad_grid(data) cache (see prepare())
+    stencil: jnp.ndarray | None = None  # build_stencil(data) cache (see prepare())
 
     @classmethod
     def create(cls, data, p=None):
@@ -75,37 +81,42 @@ class GridSDF:
         return cls(data=data, p=jnp.asarray(p, jnp.float32))
 
     def prepare(self):
-        """Cache the edge-padded grid for contiguous-fetch interpolation
-        (hoisted out of trace loops; gradients flow data → padded → taps).
+        """Cache the contiguous-row stencil table for interpolation (one
+        64-float gather row per query instead of 64 scalar taps — the
+        measured-fastest TPU formulation; gradients flow data → stencil →
+        taps).  No-op for grids too large for the 64× table
+        (``gridops.stencil_ok``).
 
         WARNING: the cache is derived state — after ``.replace(data=...)``
         on a prepared SDF you must either re-``prepare()`` or drop the
-        cache (``.replace(data=..., padded=None)``), otherwise evaluation
+        cache (``.replace(data=..., stencil=None)``), otherwise evaluation
         silently reads the stale grid (and the new data gets zero
         gradient).  ``with_data`` does the right thing."""
-        return self.replace(padded=gridops.pad_grid(self.data))
+        if not gridops.stencil_ok(self.data):
+            return self.replace(stencil=None)
+        return self.replace(stencil=gridops.build_stencil(self.data))
 
     def with_data(self, data):
-        """Replace the grid, keeping the padded cache coherent."""
-        out = self.replace(data=data, padded=None)
-        return out.prepare() if self.padded is not None else out
+        """Replace the grid, keeping the stencil cache coherent."""
+        out = self.replace(data=data, stencil=None)
+        return out.prepare() if self.stencil is not None else out
 
     @property
     def resolution(self):
         return self.data.shape
 
     def eval(self, x):
-        return gridops.grid_eval(self.data, x - self.p, self.padded)
+        return gridops.grid_eval(self.data, x - self.p, self.stencil)
 
     def eval_and_grad(self, x):
-        return gridops.grid_eval_grad(self.data, x - self.p, self.padded)
+        return gridops.grid_eval_grad(self.data, x - self.p, self.stencil)
 
     def eval_grad(self, x):
-        return gridops.grid_eval_grad(self.data, x - self.p, self.padded)[1]
+        return gridops.grid_eval_grad(self.data, x - self.p, self.stencil)[1]
 
     def eval_all(self, x):
         """(value, grad, hessian) jet — reference ``eval_all`` shapes.py:438."""
-        return gridops.grid_eval_all(self.data, x - self.p, self.padded)
+        return gridops.grid_eval_all(self.data, x - self.p, self.stencil)
 
     def bbox(self, expand: float = 0.05):
         p = jax.lax.stop_gradient(self.p)

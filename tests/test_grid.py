@@ -95,12 +95,13 @@ def test_trilinear_matches_data_at_centers(random_grid):
     )
 
 
-def test_padded_path_matches_clamped(random_grid):
-    """The contiguous-fetch (padded) interpolation path is exactly the
-    clamped path, including far-outside queries."""
-    from differentiable_sdf_rendering_tpu.ops.grid import pad_grid
+def test_stencil_path_matches_clamped(random_grid):
+    """The contiguous-row stencil interpolation path (the TPU trace-loop
+    fast path) is exactly the per-tap clamped path, including far-outside
+    queries beyond the stencil's base-index table range."""
+    from differentiable_sdf_rendering_tpu.ops.grid import build_stencil
 
-    padded = pad_grid(random_grid)
+    stencil = build_stencil(random_grid)
     p = jnp.concatenate(
         [
             jax.random.uniform(jax.random.PRNGKey(9), (64, 3), minval=-0.2, maxval=1.2),
@@ -108,14 +109,14 @@ def test_padded_path_matches_clamped(random_grid):
         ]
     )
     v0, g0, h0 = gridops.grid_eval_all(random_grid, p)
-    v1, g1, h1 = gridops.grid_eval_all(random_grid, p, padded)
+    v1, g1, h1 = gridops.grid_eval_all(random_grid, p, stencil)
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-4)
 
-    # gradients w.r.t. the grid agree through the pad
-    def loss(data, use_pad):
-        pp = pad_grid(data) if use_pad else None
+    # gradients w.r.t. the grid agree through the stencil construction
+    def loss(data, use_stencil):
+        pp = build_stencil(data) if use_stencil else None
         return jnp.sum(jnp.sin(3.0 * gridops.grid_eval(data, p, pp)))
 
     ga = jax.grad(loss)(random_grid, False)
