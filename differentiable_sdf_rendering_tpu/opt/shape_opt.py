@@ -33,10 +33,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import PartitionSpec as P
+
 from ..models.camera import regular_cameras, regular_cameras_top
-from ..models.integrator import RenderConfig, render, render_chunked
+from ..models.integrator import RenderConfig, render, render_chunked, render_lane_block
 from ..models.scene import Scene
-from ..models.scenes_zoo import scene_rig, target_sdf
+from ..ops.film import BORDER, develop
+from ..models.scenes_zoo import scene_rig_full, target_sdf
 from ..ops.initializers import upsample_sdf, upsample_volume
 from ..ops.sdf import GridSDF
 from . import losses as losses_mod
@@ -129,7 +132,163 @@ def render_reference_images(scene: Scene, opt_cfg: SdfConfig, ref_spp: int = 512
     return refs
 
 
-@functools.partial(jax.jit, static_argnames=("loss_name", "cfg_primal", "cfg_grad", "batch", "specs", "base_treedef", "mask_updates", "render_chunks"))
+def _local_lane_block(scene, cam, seed, cfg: RenderConfig, mode, n_chunks, ray_axis, n_ray_shards):
+    """This shard's un-normalized film block: its contiguous slice of the
+    global lane space, chunked through a rematerialized scan like
+    :func:`render_chunked`.  RNG is keyed by global lane id, so psum of the
+    shard blocks equals the single-device block up to float accumulation
+    order (SURVEY.md §2.4 deterministic per-ray RNG).  Contains NO
+    collectives — so it is safe to ``jax.vjp`` under ``check_vma=False``
+    (transposing a psum there would double-count the cotangent)."""
+    W, H = cam.resx, cam.resy
+    b = BORDER if cfg.sample_border else 0
+    n = (W + 2 * b) * (H + 2 * b) * cfg.spp
+    assert n % (n_ray_shards * n_chunks) == 0, (n, n_ray_shards, n_chunks)
+    sz = n // (n_ray_shards * n_chunks)
+    base_off = jax.lax.axis_index(ray_axis).astype(jnp.uint32) * jnp.uint32(n // n_ray_shards)
+
+    @jax.checkpoint
+    def body(carry, c):
+        lane = base_off + c * jnp.uint32(sz) + jnp.arange(sz, dtype=jnp.uint32)
+        return carry + render_lane_block(scene, cam, lane, seed, cfg, mode), None
+
+    init = jnp.zeros((H + 2 * b, W + 2 * b, 5), jnp.float32)
+    block, _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.uint32))
+    return block
+
+
+def _render_view_sharded(scene, cam, seed, cfg: RenderConfig, mode, n_chunks, ray_axis, n_ray_shards):
+    """Lane-sharded chunked render INSIDE a shard_map: local block, psum
+    over the 'rays' mesh axis, develop.  (Primal/detached use only — for
+    gradients vjp :func:`_local_lane_block` and keep the psum outside.)"""
+    b = BORDER if cfg.sample_border else 0
+    block = _local_lane_block(scene, cam, seed, cfg, mode, n_chunks, ray_axis, n_ray_shards)
+    return develop(jax.lax.psum(block, ray_axis), border=b)
+
+
+def _view_batch_loss_grads(
+    params, base, view_indices, seeds, seeds_grad, refs,
+    *, loss_name, cfg_primal, cfg_grad, batch, render_chunks, mesh,
+):
+    """Loss + parameter gradients of a strided view batch — the SPMD core of
+    the training step.  With ``mesh=None`` this is a lax.scan over views on
+    one device; with a ('views','rays') mesh the batch is split across view
+    groups and each view's wavefront across ray shards, reduced by psum (the
+    distribution subsystem of SURVEY.md §2.4 applied to the production loop,
+    parallelizing the reference's sequential per-sensor loop,
+    /root/reference/python/shape_opt.py:77-86)."""
+    loss_fn = _LOSSES[loss_name]
+
+    def one_view(params_a, base_a, vidx, seed_p, seed_g, ref, render_view, grad_backprop):
+        cam = base_a.cameras.view(vidx)
+        scene_det = _build_scene(jax.lax.stop_gradient(base_a), jax.lax.stop_gradient(params_a))
+        # chunking bounds the live wavefront (lax.scan over lane chunks with
+        # a rematerialized body) — required for hq/hqq film sizes on single
+        # chips (CLAUDE.md: HBM limits); bit-compatible up to float
+        # accumulation order.
+        img_p = render_view(scene_det, cam, seed_p, cfg_primal, "primal")[..., :3]
+        lval, dimg = jax.value_and_grad(lambda im: loss_fn(im, ref) / batch)(img_p)
+        gp = grad_backprop(params_a, base_a, cam, seed_g, dimg)
+        return lval, gp
+
+    def scan_views(params_a, base_a, vis, sps, sgs, rfs, render_view, grad_backprop):
+        # ONE copy of the render+vjp program regardless of batch size (the
+        # reference re-dispatches per sensor; the scan keeps compile time
+        # and live memory independent of the batch).
+        @jax.checkpoint
+        def view_body(carry, xs):
+            loss_acc, grads_acc = carry
+            vidx, seed_p, seed_g, ref = xs
+            lval, gp = one_view(
+                params_a, base_a, vidx, seed_p, seed_g, ref, render_view, grad_backprop
+            )
+            return (loss_acc + lval, jax.tree_util.tree_map(jnp.add, grads_acc, gp)), None
+
+        # NOTE zeros from shape/dtype, NOT zeros_like: inside the Manual
+        # shard_map context, zeros_like of a param that was produced by a
+        # previous sharded step (and so carries a NamedSharding with Auto
+        # axis types on the same mesh) is rejected by JAX.
+        zeros = jax.tree_util.tree_map(lambda x: jnp.zeros(x.shape, x.dtype), params_a)
+        init = (jnp.zeros(()), zeros)
+        (loss, grads), _ = jax.lax.scan(view_body, init, (vis, sps, sgs, rfs))
+        return loss, grads
+
+    if mesh is None:
+        def render_view(scene, cam, seed, cfg, mode):
+            return render_chunked(scene, seed=seed, cfg=cfg, mode=mode, camera=cam, n_chunks=render_chunks)
+
+        def grad_backprop(params_a, base_a, cam, seed_g, dimg):
+            def rfun(p):
+                return render_view(_build_scene(base_a, p), cam, seed_g, cfg_grad, "grad")[..., :3]
+
+            _, vjp = jax.vjp(rfun, params_a)
+            (gp,) = vjp(dimg)
+            return gp
+
+        return scan_views(
+            params, base, view_indices, seeds, seeds_grad, refs, render_view, grad_backprop
+        )
+
+    n_vg = mesh.shape["views"]
+    n_rs = mesh.shape["rays"]
+    assert batch % n_vg == 0, (
+        f"view batch {batch} must divide evenly over the {n_vg}-group 'views' mesh axis"
+    )
+    per = batch // n_vg
+    vi = view_indices.reshape(n_vg, per)
+    sp = seeds.reshape(n_vg, per)
+    sg = seeds_grad.reshape(n_vg, per)
+    rf = refs.reshape((n_vg, per) + refs.shape[1:])
+
+    def render_view(scene, cam, seed, cfg, mode):
+        return _render_view_sharded(scene, cam, seed, cfg, mode, render_chunks, "rays", n_rs)
+
+    def grad_backprop(params_a, base_a, cam, seed_g, dimg):
+        # The differentiated function must contain NO collectives (psum's
+        # transpose under check_vma=False is another psum — it would
+        # multiply the cotangent by the shard count).  Chain manually:
+        # vjp(local block) ∘ psum ∘ vjp(develop): dimg → dB is the same on
+        # every shard (B and dimg are replicated), each shard backprops dB
+        # through ITS lanes only, and the caller psums the partial grads.
+        b = BORDER if cfg_grad.sample_border else 0
+
+        def block_fn(p):
+            return _local_lane_block(
+                _build_scene(base_a, p), cam, seed_g, cfg_grad, "grad",
+                render_chunks, "rays", n_rs,
+            )
+
+        blk, vjp_blk = jax.vjp(block_fn, params_a)
+        B = jax.lax.psum(blk, "rays")
+        _, vjp_dev = jax.vjp(lambda B: develop(B, border=b)[..., :3], B)
+        (dB,) = vjp_dev(dimg)
+        (gp,) = vjp_blk(dB)
+        return gp
+
+    # Everything array-valued enters through shard_map ARGUMENTS (not
+    # closures): closure-captured arrays that were produced by a previous
+    # sharded step carry Auto-axis NamedShardings that the Manual context
+    # rejects; in_specs-passed arrays are resharded cleanly.
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("views"), P("views"), P("views"), P("views")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(params_a, base_a, vis, sps, sgs, rfs):
+        loss, grads = scan_views(
+            params_a, base_a, vis[0], sps[0], sgs[0], rfs[0], render_view, grad_backprop
+        )
+        # loss is replicated across 'rays' (each ray shard sees the full
+        # psum'ed film); grads are partial per ray shard AND per view group.
+        loss = jax.lax.psum(loss, "views")
+        grads = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, ("views", "rays")), grads)
+        return loss, grads
+
+    return run(params, base, vi, sp, sg, rf)
+
+
+@functools.partial(jax.jit, static_argnames=("loss_name", "cfg_primal", "cfg_grad", "batch", "specs", "base_treedef", "mask_updates", "render_chunks", "mesh"))
 def _train_step(
     params,
     adam_state,
@@ -149,48 +308,15 @@ def _train_step(
     specs,
     mask_updates: bool = False,
     render_chunks: int = 1,
+    mesh=None,
 ):
     base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
-    loss_fn = _LOSSES[loss_name]
     spec_by_key = {s.key: s for s in specs}
 
-    def one_view(vidx, seed_p, seed_g, ref):
-        cam = base.cameras.view(vidx)
-        scene_det = _build_scene(jax.lax.stop_gradient(base), jax.lax.stop_gradient(params))
-        # render_chunks > 1 bounds the live wavefront (lax.scan over lane
-        # chunks with a rematerialized body) — required for hq/hqq film
-        # sizes on single chips (CLAUDE.md: HBM limits); bit-compatible up
-        # to float accumulation order.
-        img_p = render_chunked(
-            scene_det, seed=seed_p, cfg=cfg_primal, mode="primal", camera=cam,
-            n_chunks=render_chunks,
-        )[..., :3]
-        lval, dimg = jax.value_and_grad(lambda im: loss_fn(im, ref) / batch)(img_p)
-
-        def rfun(p):
-            return render_chunked(
-                _build_scene(base, p), seed=seed_g, cfg=cfg_grad, mode="grad",
-                camera=cam, n_chunks=render_chunks,
-            )[..., :3]
-
-        _, vjp = jax.vjp(rfun, params)
-        (gp,) = vjp(dimg)
-        return lval, gp
-
-    # The view batch is a lax.scan with a rematerialized body: ONE copy of
-    # the render+vjp program regardless of batch size (the reference
-    # re-dispatches per sensor, shape_opt.py:77-86; here the scan keeps
-    # compile time and live memory independent of the batch).
-    @jax.checkpoint
-    def view_body(carry, xs):
-        loss_acc, grads_acc = carry
-        vidx, seed_p, seed_g, ref = xs
-        lval, gp = one_view(vidx, seed_p, seed_g, ref)
-        return (loss_acc + lval, jax.tree_util.tree_map(jnp.add, grads_acc, gp)), None
-
-    init = (jnp.zeros(()), jax.tree_util.tree_map(jnp.zeros_like, params))
-    (total_loss, grads), _ = jax.lax.scan(
-        view_body, init, (view_indices, seeds, seeds_grad, refs)
+    total_loss, grads = _view_batch_loss_grads(
+        params, base, view_indices, seeds, seeds_grad, refs,
+        loss_name=loss_name, cfg_primal=cfg_primal, cfg_grad=cfg_grad,
+        batch=batch, render_chunks=render_chunks, mesh=mesh,
     )
 
     # Laplacian regularizer on the SDF (shape_opt.py:89-92)
@@ -268,9 +394,15 @@ def optimize_shape(
     resume_from=None,
     write_images: bool = False,
     render_chunks: int = 1,
+    mesh=None,
 ) -> OptimizationResult:
     """Run a full reconstruction (reference shape_opt.py:32-132 +
-    optimize.py: reference rendering happens here from the target SDF)."""
+    optimize.py: reference rendering happens here from the target SDF).
+
+    ``mesh``: optional ('views','rays') jax.sharding.Mesh — the per-iteration
+    view batch is split across view groups and each view's wavefront across
+    ray shards (parallel/sharding.py design, applied to the production step).
+    """
     t_start = time.time()
     n_iter = n_iter if n_iter is not None else method_cfg.n_iter
     specs = tuple(opt_cfg.variables())
@@ -278,10 +410,14 @@ def optimize_shape(
 
     # ---- target scene & reference images at every scheduled resolution ----
     tres = target_res or max(128, opt_cfg.sdf_res)
-    bsdf, emitter = scene_rig(opt_cfg.scene_name or scene_name, opt_cfg.param_keys)
+    rig = scene_rig_full(opt_cfg.scene_name or scene_name, opt_cfg.param_keys)
+    bsdf, emitter = rig["bsdf"], rig["emitter"]
     tgt_sdf = GridSDF.create(target_sdf(opt_cfg.scene_name or scene_name, tres, scene_dir))
     cams_full = _make_cameras(opt_cfg, opt_cfg.resx, opt_cfg.resy)
-    target_scene = Scene(sdf=tgt_sdf, bsdf=bsdf, emitter=emitter, cameras=cams_full)
+    target_scene = Scene(
+        sdf=tgt_sdf, bsdf=bsdf, emitter=emitter, cameras=cams_full,
+        mesh=rig["mesh"], area_emitter=rig["area_emitter"],
+    )
     ref_cfg = RenderConfig(
         integrator=method_cfg.integrator if method_cfg.integrator != "sdf_prb_reparam" else "sdf_direct_reparam",
         warp=method_cfg.warp_config(),
@@ -327,7 +463,8 @@ def optimize_shape(
             res = opt_cfg.res_at(i)
             cams = _make_cameras(opt_cfg, res[0], res[1])
             base = Scene(
-                sdf=GridSDF.create(jnp.zeros_like(params["sdf"])), bsdf=bsdf, emitter=emitter, cameras=cams
+                sdf=GridSDF.create(jnp.zeros_like(params["sdf"])), bsdf=bsdf, emitter=emitter, cameras=cams,
+                mesh=rig["mesh"], area_emitter=rig["area_emitter"],
             )
             for s in specs:
                 if s.upsample_iter and i in s.upsample_iter:
@@ -381,6 +518,7 @@ def optimize_shape(
                 base_treedef=base_treedef,
                 mask_updates=method_cfg.mask_optimizer,
                 render_chunks=render_chunks,
+                mesh=mesh,
             )
             loss_values.append(float(loss))
             if verbose and (i % 8 == 0 or i == n_iter - 1):
@@ -419,6 +557,9 @@ def optimize_shape(
             )
             _write_loss_plot(loss_values, output_dir)
     final_scene = _build_scene(
-        Scene(sdf=GridSDF.create(params["sdf"]), bsdf=bsdf, emitter=emitter, cameras=cams_full), params
+        Scene(
+            sdf=GridSDF.create(params["sdf"]), bsdf=bsdf, emitter=emitter, cameras=cams_full,
+            mesh=rig["mesh"], area_emitter=rig["area_emitter"],
+        ), params
     )
     return OptimizationResult(params, ema, loss_values, total_time, final_scene)
