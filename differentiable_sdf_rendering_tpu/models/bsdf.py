@@ -19,7 +19,7 @@ from flax import struct
 from ..ops import grid as gridops
 from ..ops.sampling import cosine_hemisphere_pdf, square_to_cosine_hemisphere
 
-__all__ = ["DiffuseBSDF", "PrincipledBSDF"]
+__all__ = ["ConductorBSDF", "DiffuseBSDF", "PrincipledBSDF"]
 
 
 def _eval_texture(const, tex, p):
@@ -31,11 +31,49 @@ def _eval_texture(const, tex, p):
 
 
 @struct.dataclass
+class ConductorBSDF:
+    """Smooth (delta) specular conductor — Mitsuba's ``conductor`` plugin,
+    used by the reference's mirror in the ``mirror-opt`` scenes
+    (/root/reference/python/opt_configs.py:257-273; optimized through with
+    WarpPRB, figures/indirect_reparam/indirect_reparam.py:29-33).
+
+    Delta-lobe conventions (Mitsuba): ``eval``/``eval_pdf`` are identically
+    zero (a delta has no continuous density); ``sample`` returns the mirror
+    direction with ``pdf = 1`` and ``weight = reflectance``.  Integrators
+    must check ``delta`` and give BSDF-sampled delta bounces MIS weight 1.
+    """
+
+    reflectance: jnp.ndarray  # (3,)
+    delta = True
+
+    @classmethod
+    def create(cls, reflectance=(0.95, 0.95, 0.95)):
+        return cls(reflectance=jnp.asarray(reflectance, jnp.float32))
+
+    def eval(self, si, wo_local):
+        return jnp.zeros(wo_local.shape[:-1] + (3,), wo_local.dtype)
+
+    def eval_pdf(self, si, wo_local):
+        z = jnp.zeros(wo_local.shape[:-1], wo_local.dtype)
+        return jnp.zeros(wo_local.shape[:-1] + (3,), wo_local.dtype), z
+
+    def sample(self, si, u2):
+        """→ (wo_local = mirror(wi), pdf = 1, weight = reflectance)."""
+        wi = si.wi
+        wo = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+        valid = wi[..., 2] > 0
+        pdf = jnp.where(valid, 1.0, 0.0)
+        weight = jnp.where(valid[..., None], self.reflectance, 0.0)
+        return wo, pdf, weight
+
+
+@struct.dataclass
 class DiffuseBSDF:
     """Lambertian BSDF; albedo constant or volume-textured."""
 
     albedo: jnp.ndarray                 # (3,) constant fallback
     albedo_tex: jnp.ndarray | None = None  # optional (Z, Y, X, 3)
+    delta = False
 
     @classmethod
     def create(cls, albedo=(0.8, 0.8, 0.8), albedo_tex=None):
@@ -96,6 +134,7 @@ class PrincipledBSDF:
     base_color_tex: jnp.ndarray | None = None  # (Z, Y, X, 3)
     roughness_tex: jnp.ndarray | None = None   # (Z, Y, X, 1)
     specular: float = struct.field(pytree_node=False, default=0.04)
+    delta = False
 
     @classmethod
     def create(cls, base_color=(0.8, 0.8, 0.8), roughness=0.4, base_color_tex=None, roughness_tex=None):

@@ -21,7 +21,10 @@ from flax import struct
 from ..ops.sampling import square_to_uniform_sphere, square_to_vmf, vmf_pdf
 from ..ops.vecmath import normalize
 
-__all__ = ["ConstantEmitter", "VMFEmitter", "GridEnvmap", "make_gradient_envmap"]
+__all__ = [
+    "ConstantEmitter", "VMFEmitter", "GridEnvmap", "AreaEmitter",
+    "make_gradient_envmap",
+]
 
 _INV_4PI = 1.0 / (4.0 * jnp.pi)
 
@@ -161,6 +164,97 @@ class GridEnvmap:
         st = jnp.maximum(jnp.sin((y + 0.5) / h * jnp.pi), 1e-6)
         # pixel solid angle = (2π/w)(π/h) sinθ
         return p_row * p_col / ((2.0 * jnp.pi / w) * (jnp.pi / h) * st)
+
+
+@struct.dataclass
+class AreaEmitter:
+    """One-sided rectangular area light (the reference's ``plane_area`` scene
+    and studio relight rig use Mitsuba ``rectangle`` + ``area`` emitters —
+    SURVEY.md §2.2, figures/result_utils.py:48-76).
+
+    The rect is ``corner + s·e0 + t·e1`` for s,t ∈ [0,1], emitting from the
+    front face (the side its normal ``n̂ = normalize(e0×e1)`` points toward).
+    Unlike the environment emitters this light sits at a *finite* position:
+    NEE returns a sample **distance** so shadow rays are traced with ``maxt``
+    (reference sdf_direct_reparam.py:39-53), and primary/BSDF rays can hit
+    the emitter surface itself (``si.emitter(scene).eval(si)``,
+    sdf_direct_reparam.py:31).
+    """
+
+    corner: jnp.ndarray    # (3,)
+    e0: jnp.ndarray        # (3,) first edge vector
+    e1: jnp.ndarray        # (3,) second edge vector
+    radiance: jnp.ndarray  # (3,)
+
+    @classmethod
+    def create(cls, corner, e0, e1, radiance=(10.0, 10.0, 10.0)):
+        return cls(
+            corner=jnp.asarray(corner, jnp.float32),
+            e0=jnp.asarray(e0, jnp.float32),
+            e1=jnp.asarray(e1, jnp.float32),
+            radiance=jnp.asarray(radiance, jnp.float32),
+        )
+
+    @property
+    def _normal_area(self):
+        c = jnp.cross(self.e0, self.e1)
+        area = jnp.linalg.norm(c)
+        return c / jnp.maximum(area, 1e-20), area
+
+    def sample_from(self, p_ref, u2):
+        """Sample a point on the rect toward ``p_ref``.
+
+        Returns ``(d, dist, pdf_sa, radiance)``: unit direction from p_ref,
+        distance to the sample, solid-angle density ``dist²/(A·cosθ_l)``, and
+        the radiance (zero from the back face).
+        """
+        n, area = self._normal_area
+        q = self.corner + u2[..., 0:1] * self.e0 + u2[..., 1:2] * self.e1
+        vec = q - p_ref
+        dist = jnp.linalg.norm(vec, axis=-1)
+        d = vec / jnp.maximum(dist, 1e-12)[..., None]
+        cos_l = jnp.sum(-d * n, -1)  # emission only from the front face
+        front = cos_l > 1e-6
+        pdf = jnp.where(front, dist**2 / (area * jnp.maximum(cos_l, 1e-6)), 0.0)
+        rad = jnp.where(front[..., None], self.radiance, 0.0)
+        return d, dist, pdf, rad
+
+    def _plane_hit(self, o, d):
+        n, _ = self._normal_area
+        denom = jnp.sum(d * n, -1)
+        grazing = jnp.abs(denom) < 1e-8
+        t = jnp.sum((self.corner - o) * n, -1) / jnp.where(grazing, 1.0, denom)
+        q = o + t[..., None] * d - self.corner
+        s0 = jnp.sum(q * self.e0, -1) / jnp.maximum(jnp.sum(self.e0 * self.e0), 1e-20)
+        s1 = jnp.sum(q * self.e1, -1) / jnp.maximum(jnp.sum(self.e1 * self.e1), 1e-20)
+        inside = (s0 >= 0) & (s0 <= 1) & (s1 >= 0) & (s1 <= 1)
+        valid = ~grazing & (t > 1e-6) & inside
+        front = denom < 0  # ray approaches the emitting face
+        return t, valid, front
+
+    def ray_hit(self, o, d):
+        """Ray–rect intersection → t (inf = miss or back face)."""
+        t, valid, front = self._plane_hit(o, d)
+        return jnp.where(valid & front, t, jnp.inf)
+
+    def occlude_t(self, o, d):
+        """Geometric hit distance of EITHER face (the rect is opaque
+        scene geometry, like Mitsuba's ``rectangle`` shape); inf = miss."""
+        t, valid, _ = self._plane_hit(o, d)
+        return jnp.where(valid, t, jnp.inf)
+
+    def eval_hit(self, o, d):
+        """Radiance seen along (o, d) if it hits the front face, else 0."""
+        t = self.ray_hit(o, d)
+        return jnp.where(jnp.isfinite(t)[..., None], self.radiance, 0.0), t
+
+    def pdf_direction_from(self, p_ref, d):
+        """Solid-angle pdf of :meth:`sample_from` producing direction d."""
+        n, area = self._normal_area
+        t = self.ray_hit(p_ref, d)
+        cos_l = jnp.maximum(jnp.sum(-d * n, -1), 1e-6)
+        pdf = jnp.where(jnp.isfinite(t), t**2 / (area * cos_l), 0.0)
+        return pdf
 
 
 def make_gradient_envmap(h=64, w=128, top=(1.2, 1.1, 1.0), bottom=(0.15, 0.18, 0.25), sun_dir=(0.4, 0.7, -0.4), sun_power=40.0, sun_scale=25.0):

@@ -71,26 +71,28 @@ class RenderConfig:
     antithetic_sampling: bool = False
 
 
-def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None):
+def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None, maxt=jnp.inf):
     """Hybrid intersect (reparam.py:201-232): SDF sphere trace merged with
     the optional auxiliary TriangleMesh by nearest t.  Returns
     (its_t, d_reparam, det, mesh_aux) where ``mesh_aux`` is None for
-    pure-SDF scenes and ``(mesh_t, mesh_n)`` otherwise."""
+    pure-SDF scenes and ``(mesh_t, mesh_n)`` otherwise.  ``maxt`` bounds the
+    ray extent (finite-distance shadow rays to area emitters,
+    sdf_direct_reparam.py:39-53)."""
     reparam = mode != "primal" and cfg.use_warp and cfg.warp_kind != "dummy"
     if reparam and cfg.warp.max_reparam_depth >= 0 and depth > cfg.warp.max_reparam_depth:
         reparam = False
     if not reparam:
-        its_t = sphere_trace(scene.sdf, o, d, cfg.trace)
+        its_t = sphere_trace(scene.sdf, o, d, cfg.trace, maxt=maxt)
         d1, det = d, jnp.ones(o.shape[:-1], o.dtype)
     elif cfg.warp_kind == "conv":
         from ..ops.warp_conv import conv_reparameterize
 
-        its_t = sphere_trace(scene.sdf, o, d, cfg.trace)
+        its_t = sphere_trace(scene.sdf, o, d, cfg.trace, maxt=maxt)
         n_aux = cfg.conv.n_aux_rays
         u = uni_conv.reshape(uni_conv.shape[:-1] + (n_aux, 2))
         d1, det = conv_reparameterize(scene.sdf, o, d, u, cfg.conv, cfg.trace)
     else:
-        its_t, d1, det = reparameterize(scene.sdf, o, d, cfg.warp, cfg.trace)
+        its_t, d1, det = reparameterize(scene.sdf, o, d, cfg.warp, cfg.trace, maxt=maxt)
     if scene.mesh is None:
         return its_t, d1, det, None
     from ..ops.mesh_intersect import mesh_intersect
@@ -130,6 +132,13 @@ def _compute_si(scene, o, d1, its_t, maux, differentiable):
     return si, is_mesh
 
 
+def _si_where(m, a, b):
+    """Per-lane select between two SurfaceInteractions (bool mask (N,))."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(m.reshape(m.shape + (1,) * (x.ndim - m.ndim)), x, y), a, b
+    )
+
+
 def _mesh_diffuse(scene, wo_local):
     """Lambertian eval/pdf of the auxiliary mesh's own BSDF — mixed scenes
     give extra geometry a BSDF distinct from the SDF's (result_utils.py
@@ -162,6 +171,57 @@ def _sample_simple_shading(scene, o, d, uni, cfg, mode):
     return rgb, jnp.ones_like(shade, bool), det, d1
 
 
+def _emitted_along(scene, p, d):
+    """Total emitted radiance arriving at ``p`` from direction ``d`` plus the
+    occlusion distance of the nearest emitter-geometry hit (inf = none): the
+    area-emitter rect is opaque scene geometry whose front face emits
+    (``si.emitter(scene).eval(si)``, sdf_direct_reparam.py:31); past it (or
+    with no rect) the environment emitter is seen."""
+    env = scene.emitter.eval(d)
+    if scene.area_emitter is None:
+        return env, jnp.full(d.shape[:-1], jnp.inf)
+    t_geo = scene.area_emitter.occlude_t(p, d)
+    t_front = scene.area_emitter.ray_hit(p, d)
+    rad = jnp.where(
+        jnp.isfinite(t_front)[..., None],
+        jnp.broadcast_to(scene.area_emitter.radiance, env.shape),
+        jnp.where(jnp.isfinite(t_geo)[..., None], 0.0, env),
+    )
+    return rad, t_geo
+
+
+def _emitter_pdf(scene, p, d):
+    """Solid-angle density of :func:`_nee_sample` at ``p`` producing ``d``
+    (Mitsuba's ``scene.pdf_emitter_direction`` for MIS)."""
+    pdf = scene.emitter.pdf_direction(d)
+    if scene.area_emitter is None:
+        return pdf
+    return 0.5 * pdf + 0.5 * scene.area_emitter.pdf_direction_from(p, d)
+
+
+def _nee_sample(scene, p, u2):
+    """Sample an emitter direction from ``p`` (detached, like the
+    reference's detached emitter sampling): returns
+    ``(d, pdf, radiance, maxt)`` where ``maxt`` is the distance to the
+    emitter surface (inf for environment directions) that bounds the shadow
+    ray.  With both an environment and an area emitter present the sampler
+    is a 50/50 direction mixture (Mitsuba picks among scene emitters
+    uniformly and reweights)."""
+    if scene.area_emitter is None:
+        d, pdf, rad = scene.emitter.sample_direction(u2)
+        return d, pdf, rad, jnp.full(pdf.shape, jnp.inf)
+    pick_area = u2[..., 0] < 0.5
+    # re-stretch the selector uniform for reuse in the chosen branch
+    u0 = jnp.where(pick_area, u2[..., 0] * 2.0, (u2[..., 0] - 0.5) * 2.0)
+    u = jnp.stack([u0, u2[..., 1]], -1)
+    d_env, _, _ = scene.emitter.sample_direction(u)
+    d_area, _, _, _ = scene.area_emitter.sample_from(p, u)
+    d = jnp.where(pick_area[..., None], d_area, d_env)
+    pdf = _emitter_pdf(scene, p, d)
+    rad, t_geo = _emitted_along(scene, p, d)
+    return d, pdf, rad, t_geo
+
+
 def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     """Direct illumination with NEE (sdf_direct_reparam.py:16-111)."""
     reparametrize = mode != "primal"
@@ -172,24 +232,62 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     )
     if cfg.debug_detach_normals:
         si = si.replace(n=jax.lax.stop_gradient(si.n), wi=jax.lax.stop_gradient(si.wi))
-    valid_ray = si.valid | (not cfg.hide_emitters)
 
-    throughput = det
-    # Escaped rays see the environment (attached d1 → silhouette gradients
-    # of the background, sdf_direct_reparam.py:31)
-    env = scene.emitter.eval(d1)
-    see_env = (~si.valid) & (not cfg.hide_emitters)
-    result = jnp.where(see_env[..., None], env, 0.0) * throughput[..., None]
+    tint = jnp.ones(o.shape[:-1] + (3,), o.dtype)
+    if scene.mesh is not None and scene.mesh.material == "mirror":
+        # One specular bounce (the reference's mirror-opt scene,
+        # opt_configs.py:257-273): lanes whose nearest hit is the mirror
+        # rect continue along the reflected ray.  The depth-1 re-intersect
+        # is itself reparameterized, so silhouette gradients of the SDF
+        # *seen in the mirror* flow through the reflected direction — the
+        # nested/indirect-reparam capability the scene demonstrates.
+        assert cfg.warp_kind != "conv", "mirror scenes unsupported with conv warp"
+        assert not cfg.decouple_reparam, "mirror scenes unsupported with decouple_reparam"
+        n_m = si.n  # mirror lanes carry the (static) rect normal
+        d_r = d1 - 2.0 * jnp.sum(d1 * n_m, -1, keepdims=True) * n_m
+        o_r = jnp.where(is_mesh[..., None], si.p + d_r * cfg.shadow_eps, o)
+        d_r = jnp.where(is_mesh[..., None], d_r, d1)
+        t2, d2, det2, maux2 = _ray_intersect(scene, o_r, d_r, 1, cfg, mode, None)
+        si2, is_mesh2 = _compute_si(
+            scene, o_r, d2, t2, maux2,
+            differentiable=reparametrize and not cfg.debug_nondiff_si,
+        )
+        # merge: mirror lanes take the reflected-hit state; a second mirror
+        # hit absorbs (planar mirror: only grazing lanes can re-hit)
+        si = _si_where(is_mesh, si2.replace(valid=si2.valid & ~is_mesh2), si)
+        its_t = jnp.where(is_mesh, t2, its_t)
+        o = jnp.where(is_mesh[..., None], o_r, o)
+        dl = jnp.where(is_mesh[..., None], d2, d1)  # emitted-lookup dir
+        det = det * jnp.where(is_mesh, det2, 1.0)
+        tint = jnp.where(is_mesh[..., None], scene.mesh.albedo, tint)
+        is_mesh = jnp.zeros_like(is_mesh)
+        maux = None
+    else:
+        dl = d1
+
+    throughput = det[..., None] * tint  # (N, 3): reparam det × mirror tint
+    # Emitted radiance seen by the (possibly mirror-reflected) ray:
+    # environment on escaped lanes, the area emitter's front face where its
+    # rect is the nearest hit (attached direction → silhouette gradients of
+    # the background, sdf_direct_reparam.py:31)
+    emitted, t_light = _emitted_along(scene, o, dl)
+    light_first = jnp.isfinite(t_light) & (t_light < its_t)
+    # surface shading only where the SDF/mesh hit is nearest
+    shade = si.valid & ~light_first
+    see_emitted = (light_first | ~si.valid) & (not cfg.hide_emitters)
+    result = jnp.where(see_emitted[..., None], emitted, 0.0) * throughput
+    valid_ray = si.valid | light_first | (not cfg.hide_emitters)
 
     # ---------------- Emitter sampling (NEE) ----------------
-    active_e = si.valid
-    ds_d, ds_pdf, ds_rad = scene.emitter.sample_direction(
-        jax.lax.stop_gradient(uni[:, 2:4])
+    active_e = shade
+    si_p_det = jax.lax.stop_gradient(si.p)
+    ds_d, ds_pdf, ds_rad, ds_dist = _nee_sample(
+        scene, si_p_det, jax.lax.stop_gradient(uni[:, 2:4])
     )
     ds_d = jax.lax.stop_gradient(ds_d)
+    ds_pdf = jax.lax.stop_gradient(ds_pdf)
+    ds_dist = jax.lax.stop_gradient(ds_dist)
     active_e = active_e & (ds_pdf > 0)
-
-    si_p_det = jax.lax.stop_gradient(si.p)
     if cfg.detach_indirect_si:
         shadow_o = si_p_det
     elif cfg.decouple_reparam:
@@ -201,7 +299,15 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     else:
         shadow_o = si.p  # attached: nested-reparam (sdf_direct_reparam.py:49)
     shadow_o = shadow_o + ds_d * cfg.shadow_eps
-    occluded_t, _, det_e, _ = _ray_intersect(scene, shadow_o, ds_d, 1, cfg, mode, _conv_uni(uni, cfg, 1))
+    # Finite-distance shadow ray: stop just short of the emitter sample
+    # (sdf_direct_reparam.py:39-53's ds.dist-bounded ray_test); inf for
+    # environment directions.
+    shadow_maxt = jnp.where(
+        jnp.isfinite(ds_dist), ds_dist * (1.0 - 1e-3) - cfg.shadow_eps, jnp.inf
+    )
+    occluded_t, _, det_e, _ = _ray_intersect(
+        scene, shadow_o, ds_d, 1, cfg, mode, _conv_uni(uni, cfg, 1), maxt=shadow_maxt
+    )
     visibility = jnp.where(jnp.isfinite(occluded_t), 0.0, 1.0)
 
     wo = si.to_local(ds_d)
@@ -225,36 +331,47 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
         jax.lax.stop_gradient(throughput) if cfg.debug_detach_nee_throughput else throughput
     )
     result = result + jnp.where(
-        active_e[..., None], nee_throughput[..., None] * nee * det_e[..., None], 0.0
+        active_e[..., None], nee_throughput * nee * det_e[..., None], 0.0
     )
 
     # ---------------- BSDF sampling (MIS) ----------------
     if cfg.use_mis:
         si_det = jax.lax.stop_gradient(si)
         bs_wo, bs_pdf, bs_weight = scene.bsdf.sample(si_det, jax.lax.stop_gradient(uni[:, 4:6]))
-        active_b = si.valid & (bs_pdf > 0)
+        active_b = shade & (bs_pdf > 0)
         bsdf_d = jax.lax.stop_gradient(si_det.to_world(bs_wo))
         bsdf_o = si.p + bsdf_d * cfg.shadow_eps
         t_b, d_b, det_b, _ = _ray_intersect(scene, bsdf_o, bsdf_d, 1, cfg, mode, _conv_uni(uni, cfg, 2))
-        escaped = ~jnp.isfinite(t_b)
         bsdf_val = scene.bsdf.eval(si, bs_wo)
         if maux is not None:
             # mesh lanes: Lambertian f with the mesh albedo; bs_pdf stays the
             # sampler's true pdf, so the estimator remains unbiased (for the
             # default diffuse scene BSDF the cosine sampler matches exactly)
             bsdf_val = jnp.where(is_mesh[..., None], _mesh_diffuse(scene, bs_wo)[0], bsdf_val)
-        emitter_pdf = scene.emitter.pdf_direction(bsdf_d)
-        L_b = scene.emitter.eval(d_b)
-        w_mis_b = mis_weight(bs_pdf, emitter_pdf)
-        contrib = (
-            bsdf_val
-            / jnp.maximum(bs_pdf, 1e-12)[..., None]
-            * L_b
-            * w_mis_b[..., None]
+        # Emitted radiance the BSDF ray reaches: environment if it escapes
+        # the SDF/mesh, the area emitter if its rect is the nearest hit.
+        L_b, t_light_b = _emitted_along(scene, jax.lax.stop_gradient(bsdf_o), d_b)
+        reach_emitter = jnp.where(
+            jnp.isfinite(t_light_b), t_light_b < t_b, ~jnp.isfinite(t_b)
         )
+        emitter_pdf = _emitter_pdf(scene, jax.lax.stop_gradient(bsdf_o), bsdf_d)
+        if getattr(scene.bsdf, "delta", False):
+            # Delta scene BSDF (ConductorBSDF): eval ≡ 0, the lobe carries
+            # its value in the sample weight, and emitter sampling cannot
+            # match it → MIS weight 1 (Mitsuba delta-lobe conventions).
+            w_mis_b = jnp.ones_like(bs_pdf)
+            contrib = bs_weight * L_b
+        else:
+            w_mis_b = mis_weight(bs_pdf, emitter_pdf)
+            contrib = (
+                bsdf_val
+                / jnp.maximum(bs_pdf, 1e-12)[..., None]
+                * L_b
+                * w_mis_b[..., None]
+            )
         result = result + jnp.where(
-            (active_b & escaped)[..., None],
-            throughput[..., None] * contrib * det_b[..., None],
+            (active_b & reach_emitter)[..., None],
+            throughput * contrib * det_b[..., None],
             0.0,
         )
 

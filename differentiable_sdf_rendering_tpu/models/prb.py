@@ -31,14 +31,82 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.interaction import compute_surface_interaction
-from ..ops.sampling import mis_weight
+from ..ops.sampling import cosine_hemisphere_pdf, mis_weight, square_to_cosine_hemisphere
 from ..ops.trace import sphere_trace
 from ..ops.vecmath import normalize, replace_grad
 from ..ops.warp import reparameterize
+from .integrator import _compute_si, _mesh_diffuse
 
 __all__ = ["sample_prb"]
 
 _RR_DEPTH = 5
+
+
+def _merged_intersect(scene, o, d, trace):
+    """Non-diff SDF trace merged with the optional auxiliary mesh by
+    nearest t (the base-class hybrid intersect the reference gives every
+    integrator, reparam.py:201-232).  Returns ``(its_t, maux)``."""
+    its_t = sphere_trace(scene.sdf, o, d, trace)
+    if scene.mesh is None:
+        return its_t, None
+    from ..ops.mesh_intersect import mesh_intersect
+
+    mt, mn = mesh_intersect(scene.mesh, o, d)
+    return jnp.minimum(its_t, mt), (mt, mn)
+
+
+def _mesh_masks(scene, is_mesh):
+    """(is_diffuse_mesh, is_mirror) — material is static, so one of the two
+    is compiled to all-False."""
+    if scene.mesh is None or scene.mesh.material != "mirror":
+        return is_mesh, jnp.zeros_like(is_mesh)
+    return jnp.zeros_like(is_mesh), is_mesh
+
+
+def _bsdf_eval_pdf(scene, si, wo, is_dmesh, is_mirror):
+    """Material-blended BSDF eval/pdf: the SDF's own BSDF, overridden on
+    auxiliary-mesh lanes (Lambertian albedo) and zero on mirror lanes
+    (delta lobe has no continuous density)."""
+    val, pdf = scene.bsdf.eval_pdf(si, wo)
+    if scene.mesh is not None:
+        mval, mpdf = _mesh_diffuse(scene, wo)
+        val = jnp.where(is_dmesh[..., None], mval, val)
+        pdf = jnp.where(is_dmesh, mpdf, pdf)
+        val = jnp.where(is_mirror[..., None], 0.0, val)
+        pdf = jnp.where(is_mirror, 0.0, pdf)
+    return val, pdf
+
+
+def _bsdf_sample(scene, si, u2, is_dmesh, is_mirror):
+    """Material-blended BSDF sample → (wo_local, pdf, weight, delta_lane).
+
+    Mirror lanes continue deterministically in the local mirror direction
+    with pdf=1, weight=reflectance (delta conventions, models/bsdf.py);
+    diffuse-mesh lanes cosine-sample with weight=albedo."""
+    wo, pdf, weight = scene.bsdf.sample(si, u2)
+    delta = jnp.full(pdf.shape, bool(getattr(scene.bsdf, "delta", False)))
+    if scene.mesh is not None:
+        wo_c = square_to_cosine_hemisphere(u2)
+        pdf_c = cosine_hemisphere_pdf(wo_c)
+        ok_d = is_dmesh & (si.wi[..., 2] > 0) & (pdf_c > 0)
+        wo = jnp.where(is_dmesh[..., None], wo_c, wo)
+        pdf = jnp.where(is_dmesh, jnp.where(ok_d, pdf_c, 0.0), pdf)
+        weight = jnp.where(
+            is_dmesh[..., None], jnp.where(ok_d[..., None], scene.mesh.albedo, 0.0), weight
+        )
+        if scene.mesh.material == "mirror":
+            wi = si.wi
+            wo_m = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+            ok_m = is_mirror & (wi[..., 2] > 0)
+            wo = jnp.where(is_mirror[..., None], wo_m, wo)
+            pdf = jnp.where(is_mirror, jnp.where(ok_m, 1.0, 0.0), pdf)
+            weight = jnp.where(
+                is_mirror[..., None],
+                jnp.where(ok_m[..., None], scene.mesh.albedo, 0.0),
+                weight,
+            )
+            delta = delta | is_mirror
+    return wo, pdf, weight, delta
 
 
 def _trace_primal(scene, o, d, uni, cfg):
@@ -53,9 +121,10 @@ def _trace_primal(scene, o, d, uni, cfg):
 
     for k in range(cfg.max_depth):
         u = uni[:, 6 + 8 * k : 6 + 8 * (k + 1)]
-        its_t = sphere_trace(scene.sdf, ray_o, ray_d, cfg.trace)
+        its_t, maux = _merged_intersect(scene, ray_o, ray_d, cfg.trace)
         valid = jnp.isfinite(its_t) & active
-        si = compute_surface_interaction(scene.sdf, ray_o, ray_d, its_t, differentiable=False)
+        si, is_mesh = _compute_si(scene, ray_o, ray_d, its_t, maux, differentiable=False)
+        is_dmesh, is_mirror = _mesh_masks(scene, is_mesh)
 
         # Le: environment hit (escaped rays)
         escaped = active & ~jnp.isfinite(its_t)
@@ -63,16 +132,18 @@ def _trace_primal(scene, o, d, uni, cfg):
             escaped[..., None], beta * mis_em[..., None] * scene.emitter.eval(ray_d), 0.0
         )
 
-        # NEE
-        active_em = valid & (k + 1 < cfg.max_depth)
+        # NEE (skipped on delta/mirror vertices: eval ≡ 0)
+        active_em = valid & (k + 1 < cfg.max_depth) & ~is_mirror
         ds_d, ds_pdf, ds_rad = scene.emitter.sample_direction(u[:, 0:2])
         em_o = si.p + ds_d * cfg.shadow_eps
-        em_t = sphere_trace(scene.sdf, em_o, ds_d, cfg.trace)
+        em_t, _ = _merged_intersect(scene, em_o, ds_d, cfg.trace)
         occluded = jnp.isfinite(em_t)
         em_weight = jnp.where(
             (ds_pdf > 0)[..., None], ds_rad / jnp.maximum(ds_pdf, 1e-12)[..., None], 0.0
         )
-        bsdf_val_em, bsdf_pdf_em = scene.bsdf.eval_pdf(si, si.to_local(ds_d))
+        bsdf_val_em, bsdf_pdf_em = _bsdf_eval_pdf(
+            scene, si, si.to_local(ds_d), is_dmesh, is_mirror
+        )
         mis_direct = mis_weight(ds_pdf, bsdf_pdf_em)
         Lr_dir = jnp.where(
             (active_em & ~occluded)[..., None],
@@ -80,15 +151,17 @@ def _trace_primal(scene, o, d, uni, cfg):
             0.0,
         )
 
-        # BSDF sampling
-        bs_wo, bs_pdf, bs_weight = scene.bsdf.sample(si, u[:, 2:4])
+        # BSDF sampling (deterministic reflection on mirror lanes)
+        bs_wo, bs_pdf, bs_weight, bs_delta = _bsdf_sample(
+            scene, si, u[:, 2:4], is_dmesh, is_mirror
+        )
         ray_next_d = si.to_world(bs_wo)
         ray_next_o = si.p + ray_next_d * cfg.shadow_eps
 
         L = L + Le + Lr_dir
 
         beta_next = beta * bs_weight
-        active_next = active_em & (bs_pdf > 0) & (jnp.max(beta_next, -1) > 0)
+        active_next = valid & (k + 1 < cfg.max_depth) & (bs_pdf > 0) & (jnp.max(beta_next, -1) > 0)
         # Russian roulette (sdf_prb_reparam.py:341-348)
         beta_max = jnp.max(beta_next, axis=-1)
         rr_prob = jnp.minimum(beta_max, 0.95)
@@ -98,9 +171,10 @@ def _trace_primal(scene, o, d, uni, cfg):
             beta_next = beta_next / jnp.maximum(rr_prob, 1e-8)[..., None]
             active_next = active_next & rr_continue
 
-        # MIS weight for the next vertex (env pdf of the BSDF direction)
+        # MIS weight for the next vertex (env pdf of the BSDF direction);
+        # a delta lobe cannot be matched by emitter sampling → weight 1
         pdf_em_next = scene.emitter.pdf_direction(ray_next_d)
-        mis_em_next = mis_weight(bs_pdf, pdf_em_next)
+        mis_em_next = jnp.where(bs_delta, 1.0, mis_weight(bs_pdf, pdf_em_next))
 
         recs.append(
             dict(
@@ -108,7 +182,8 @@ def _trace_primal(scene, o, d, uni, cfg):
                 escaped=escaped, beta=beta, mis_em=mis_em, Le=Le, Lr_dir=Lr_dir,
                 ds_d=ds_d, ds_pdf=ds_pdf, em_weight=em_weight, occluded=occluded,
                 active_em=active_em, bs_wo=bs_wo, bs_pdf=bs_pdf, bs_weight=bs_weight,
-                mis_direct=mis_direct,
+                mis_direct=mis_direct, is_dmesh=is_dmesh, is_mirror=is_mirror,
+                si=si,
             )
         )
         ray_o, ray_d = ray_next_o, ray_next_d
@@ -129,16 +204,45 @@ def _suffix_radiance(recs):
     return out
 
 
+def _attached_si(scene, ray_o, d_rep, r):
+    """Attached merged surface interaction for the differential phase: the
+    SDF SI re-attaches t via the implicit-function theorem; lanes whose
+    primal nearest hit was the auxiliary mesh instead take the
+    Möller–Trumbore hit of the *reparameterized* ray (differentiable w.r.t.
+    the ray; geometry static) with the recorded normal frame."""
+    si = compute_surface_interaction(scene.sdf, ray_o, d_rep, r["its_t"])
+    if scene.mesh is None:
+        return si
+    from ..ops.mesh_intersect import mesh_intersect
+    from .integrator import _si_where
+
+    is_m = r["is_dmesh"] | r["is_mirror"]
+    mt, _mn = mesh_intersect(scene.mesh, ray_o, d_rep)
+    # fallback to the recorded t where the attached ray (numerically)
+    # misses the rect it primally hit; dummy 1.0 on non-mesh lanes (their
+    # fields are discarded by the select below — the dummy only prevents
+    # inf·0 = NaN in the position product)
+    t_m = jnp.where(jnp.isfinite(mt), mt, r["its_t"])
+    t_m = jnp.where(is_m & jnp.isfinite(t_m), t_m, 1.0)
+    si_rec = r["si"]  # detached mesh frame/normal
+    p_m = ray_o + t_m[..., None] * d_rep
+    si_m = si_rec.replace(t=t_m, p=p_m, wi=si_rec.to_local(-d_rep))
+    return _si_where(is_m, si_m, si)
+
+
 def sample_prb(scene, o, d, uni, cfg, mode):
     """PRB sample function (plugs into the integrator registry).
 
     Returns (rgb, valid, det_primary, d1_primary) like the other
     integrators; in grad mode the rgb carries per-vertex attached terms.
+    Hybrid SDF+mesh scenes are supported with diffuse or mirror mesh
+    materials (the reference's hybrid base-class intersect,
+    reparam.py:201-232, and the mirror-opt scenes it feeds into PRB).
     """
-    if scene.mesh is not None:
+    if scene.area_emitter is not None:
         raise NotImplementedError(
-            "hybrid SDF+mesh scenes are not supported by sdf_prb_reparam "
-            "yet; use integrator='sdf_direct_reparam' for mixed scenes."
+            "finite-position area emitters are not supported by "
+            "sdf_prb_reparam yet; use integrator='sdf_direct_reparam'."
         )
     recs, L_primal = _trace_primal(scene, o, d, uni, cfg)
     valid_ray = recs[0]["valid"] | (not cfg.hide_emitters)
@@ -148,14 +252,6 @@ def sample_prb(scene, o, d, uni, cfg, mode):
 
     Lsuf = _suffix_radiance(recs)
     n_b = len(recs)
-    # Detached interactions per bounce (for the adjacent-vertex extra terms)
-    si_all = [
-        compute_surface_interaction(
-            scene.sdf, recs[k]["ray_o"], recs[k]["ray_d"], recs[k]["its_t"],
-            differentiable=False,
-        )
-        for k in range(n_b)
-    ]
     result = jnp.zeros_like(L_primal)
     det0 = None
     d1_primary = None
@@ -201,7 +297,7 @@ def sample_prb(scene, o, d, uni, cfg, mode):
             d1_primary = d_rep
 
         # --- attached current interaction (prb:298-300) ---
-        si_cur = compute_surface_interaction(scene.sdf, r["ray_o"], d_rep, r["its_t"])
+        si_cur = _attached_si(scene, r["ray_o"], d_rep, r)
 
         # --- Le (env) with attached direction (prb:302-304) ---
         Le = jnp.where(
@@ -217,7 +313,9 @@ def sample_prb(scene, o, d, uni, cfg, mode):
         else:
             em_det = jnp.ones_like(det_k)
         wo_em = si_cur.to_local(r["ds_d"])
-        bsdf_value_em = scene.bsdf.eval(si_cur, wo_em)
+        bsdf_value_em, _ = _bsdf_eval_pdf(
+            scene, si_cur, wo_em, r["is_dmesh"], r["is_mirror"]
+        )
         Lr_dir = jnp.where(
             (r["active_em"] & ~r["occluded"])[..., None],
             r["beta"]
@@ -233,7 +331,10 @@ def sample_prb(scene, o, d, uni, cfg, mode):
             L_next = Lsuf[k + 1]
             ray_next_d = jax.lax.stop_gradient(si_cur.to_world(r["bs_wo"]))
             wo = si_cur.to_local(ray_next_d)  # cosine-term derivatives
-            bsdf_val = scene.bsdf.eval(si_cur, wo)
+            bsdf_val, _ = _bsdf_eval_pdf(scene, si_cur, wo, r["is_dmesh"], r["is_mirror"])
+            # mirror lanes: eval ≡ 0 → the ratio reduces to primal 1 with
+            # zero derivative; their indirect radiance L_next still passes
+            # through det_k (the reflected silhouette's boundary gradient)
             bsdf_val_det = jax.lax.stop_gradient(r["bs_weight"] * r["bs_pdf"][..., None])
             inv_det = jnp.where(bsdf_val_det != 0, 1.0 / jnp.maximum(bsdf_val_det, 1e-12), 0.0)
             Lr_ind = L_next * replace_grad(
@@ -252,12 +353,17 @@ def sample_prb(scene, o, d, uni, cfg, mode):
             # si_cur.p, at a FRESH detached BSDF sample (the reference uses
             # a sampler clone to decorrelate, prb:364,380-381); replay
             # ratio multiplies the twice-indirect suffix radiance.
-            si_next_det = si_all[k + 1]
+            r_next = recs[k + 1]
+            si_next_det = r_next["si"]
             u_fresh = jax.lax.stop_gradient(uni[:, 6 + 8 * k + 6 : 6 + 8 * k + 8])
-            bs_wo_next, bs_pdf_next, _ = scene.bsdf.sample(si_next_det, u_fresh)
+            bs_wo_next, bs_pdf_next, _, _ = _bsdf_sample(
+                scene, si_next_det, u_fresh, r_next["is_dmesh"], r_next["is_mirror"]
+            )
             wi_next_w = normalize(si_cur.p - si_next_det.p)
             si_next_att = si_next_det.replace(wi=si_next_det.to_local(wi_next_w))
-            bsdf_val_next = scene.bsdf.eval(si_next_att, bs_wo_next)
+            bsdf_val_next, _ = _bsdf_eval_pdf(
+                scene, si_next_att, bs_wo_next, r_next["is_dmesh"], r_next["is_mirror"]
+            )
             ratio_next = replace_grad(
                 jnp.ones_like(bsdf_val_next),
                 bsdf_val_next / jnp.maximum(jax.lax.stop_gradient(bsdf_val_next), 1e-12),
@@ -271,9 +377,13 @@ def sample_prb(scene, o, d, uni, cfg, mode):
         if not first:
             # previous-vertex BSDF re-evaluated with wo toward the attached
             # si_cur.p; replay ratio trick
+            r_prev = recs[k - 1]
             si_prev_det = jax.lax.stop_gradient(si_prev)
             wo_prev_w = normalize(si_cur.p - si_prev_det.p)
-            bsdf_val_prev = scene.bsdf.eval(si_prev_det, si_prev_det.to_local(wo_prev_w))
+            bsdf_val_prev, _ = _bsdf_eval_pdf(
+                scene, si_prev_det, si_prev_det.to_local(wo_prev_w),
+                r_prev["is_dmesh"], r_prev["is_mirror"],
+            )
             ratio_prev = replace_grad(
                 jnp.ones_like(bsdf_val_prev),
                 bsdf_val_prev / jnp.maximum(jax.lax.stop_gradient(bsdf_val_prev), 1e-12),

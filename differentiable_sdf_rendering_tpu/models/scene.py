@@ -32,10 +32,14 @@ class Scene:
     # OptiX-traced extra shapes, reparam.py:201-232); None = pure-SDF scene
     # and the mesh path is compiled out entirely.
     mesh: Any = None
+    # Optional finite-position AreaEmitter (the reference's `plane_area`
+    # scene / studio relight rig): direct hits see its radiance, NEE samples
+    # it with a finite-distance shadow ray.  None = environment lighting only.
+    area_emitter: Any = None
 
     @classmethod
     def create(cls, sdf_data, bsdf=None, emitter=None, cameras=None, n_views=12, res=128,
-               mesh=None):
+               mesh=None, area_emitter=None):
         sdf = sdf_data if isinstance(sdf_data, GridSDF) else GridSDF.create(sdf_data)
         return cls(
             sdf=sdf,
@@ -43,6 +47,7 @@ class Scene:
             emitter=emitter if emitter is not None else ConstantEmitter.create(),
             cameras=cameras if cameras is not None else regular_cameras(n_views, resx=res, resy=res),
             mesh=mesh,
+            area_emitter=area_emitter,
         )
 
     @property

@@ -24,9 +24,9 @@ import numpy as np
 from ..ops.initializers import voxel_centers
 from ..ops.redistance import redistance
 from .bsdf import DiffuseBSDF, PrincipledBSDF
-from .emitter import ConstantEmitter, VMFEmitter, make_gradient_envmap
+from .emitter import AreaEmitter, ConstantEmitter, VMFEmitter, make_gradient_envmap
 
-__all__ = ["target_sdf", "scene_rig", "SCENE_NAMES"]
+__all__ = ["target_sdf", "scene_rig", "scene_rig_full", "SCENE_NAMES"]
 
 
 def _length(v, axis=-1):
@@ -144,16 +144,32 @@ _PROCEDURAL = {
     "mirror-opt": _torus,
     "sphere": lambda p: _sphere(p, (0.5, 0.5, 0.5), 0.3),
     "block": lambda p: _box(p, (0.5, 0.5, 0.5), (0.25, 0.12, 0.18)),
+    # object-above-a-plane scenes lit by a finite area light (the reference's
+    # plane_area / plane_red_object scene family, SURVEY.md §2.2)
+    "plane_area": lambda p: _smooth_union(
+        _sphere(p, (0.5, 0.52, 0.5), 0.17),
+        _box(p, (0.5, 0.33, 0.5), (0.17, 0.03, 0.17)),
+        0.03,
+    ),
+    "plane_red_object": lambda p: _torus(p, R=0.2, r=0.08, center=(0.5, 0.5, 0.5)),
 }
 
 SCENE_NAMES = sorted(_PROCEDURAL)
 
 
+#: checked-in .vol assets produced by the own mesh→SDF pipeline
+#: (scripts/build_assets.py; reference data contract README.md:66-68)
+ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "scenes", "assets")
+
+
 def target_sdf(scene_name: str, res: int = 128, scene_dir: str | None = None) -> jnp.ndarray:
-    """Target SDF grid for a named scene: a real ``.vol`` asset if present,
-    else the procedural stand-in, redistanced to a valid SDF."""
-    if scene_dir is not None:
-        vol = os.path.join(scene_dir, "sdfs", f"{scene_name}_{res}.vol")
+    """Target SDF grid for a named scene: a real ``.vol`` asset if present
+    (from ``scene_dir`` or the checked-in ``scenes/assets``), else the
+    procedural stand-in, redistanced to a valid SDF."""
+    for sdir in (scene_dir, ASSET_DIR):
+        if sdir is None:
+            continue
+        vol = os.path.join(sdir, "sdfs", f"{scene_name}_{res}.vol")
         if os.path.exists(vol):
             from ..utils.io import read_vol
 
@@ -165,18 +181,60 @@ def target_sdf(scene_name: str, res: int = 128, scene_dir: str | None = None) ->
     return redistance(d)
 
 
-def scene_rig(scene_name: str, param_keys=("sdf",)):
-    """Per-scene emitter + BSDF (the role of the scene XML's emitter/bsdf
-    blocks).  Textured variants get volume-texture slots sized later by the
-    variable specs."""
+def scene_rig_full(scene_name: str, param_keys=("sdf",)):
+    """Per-scene emitter + BSDF + optional area light / auxiliary mesh (the
+    role of the scene XML's emitter/bsdf/shape blocks).  Returns a dict with
+    keys ``bsdf``, ``emitter``, ``area_emitter``, ``mesh``."""
     if "principled" in scene_name:
         bsdf = PrincipledBSDF.create()
     else:
         bsdf = DiffuseBSDF.create(albedo=(0.8, 0.8, 0.8))
+    area = None
+    mesh = None
     if scene_name in ("torus-shadow", "mirror-opt"):
+        from ..ops.mesh_intersect import TriangleMesh
+
         emitter = VMFEmitter.create(mu=(0.2, 0.9, 0.1), scale=(30.0,) * 3, ambient=(0.05,) * 3, kappa=60.0)
+        if scene_name == "torus-shadow":
+            # diffuse ground plane under the torus: the reconstruction
+            # signal is the torus's cast shadow on the receiver (reference
+            # torus-shadow-1, opt_configs.py:247-256; hybrid base-class
+            # intersect reparam.py:201-232)
+            mesh = TriangleMesh.floor(height=0.22, half_extent=4.0, albedo=(0.65, 0.65, 0.65))
+        else:
+            # vertical mirror behind the object w.r.t. sensor 0 (+x side
+            # camera): the sensor sees the torus directly AND reflected —
+            # gradients through the reflection are the nested/indirect
+            # reparam capability (reference mirror-opt, opt_configs.py:
+            # 257-273, optimized with WarpPRB)
+            mesh = TriangleMesh.rect(
+                corner=(-0.35, -0.6, -0.6), e0=(0.0, 2.2, 0.0), e1=(0.0, 0.0, 2.2),
+                albedo=(0.88, 0.88, 0.92), material="mirror",
+            )
+    elif scene_name in ("plane_area", "plane_red_object"):
+        # dim ambient + an overhead area panel; the estimator NEE-samples the
+        # panel with finite-distance shadow rays (reference plane_area scene)
+        emitter = ConstantEmitter.create((0.05, 0.05, 0.05))
+        area = AreaEmitter.create(
+            corner=(0.2, 1.25, 0.2), e0=(0.6, 0.0, 0.0), e1=(0.0, 0.0, 0.6),
+            radiance=(14.0, 14.0, 14.0),
+        )
+        if scene_name == "plane_red_object":
+            bsdf = DiffuseBSDF.create(albedo=(0.75, 0.25, 0.2))
     else:
         emitter = make_gradient_envmap()
     if len(param_keys) > 2:
         bsdf = PrincipledBSDF.create()
-    return bsdf, emitter
+    return {"bsdf": bsdf, "emitter": emitter, "area_emitter": area, "mesh": mesh}
+
+
+def scene_mesh(scene_name: str):
+    """Auxiliary mesh of a scene rig (None for pure-SDF scenes)."""
+    return scene_rig_full(scene_name)["mesh"]
+
+
+def scene_rig(scene_name: str, param_keys=("sdf",)):
+    """Per-scene emitter + BSDF (back-compat 2-tuple; see
+    :func:`scene_rig_full`)."""
+    rig = scene_rig_full(scene_name, param_keys)
+    return rig["bsdf"], rig["emitter"]

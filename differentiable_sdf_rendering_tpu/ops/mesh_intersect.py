@@ -36,7 +36,12 @@ class TriangleMesh:
 
     ``albedo`` is the mesh surface's Lambertian reflectance — mixed scenes
     give auxiliary geometry its own BSDF, distinct from the SDF's
-    (reference ``figures/result_utils.py:60-76``).
+    (reference ``figures/result_utils.py:60-76``).  ``material`` selects it:
+    ``"diffuse"`` (Lambertian ``albedo``) or ``"mirror"`` (smooth conductor
+    with specular reflectance ``albedo`` — the static mirror of the
+    reference's ``mirror-opt`` scenes, opt_configs.py:257-273).  Static so
+    the integrators compile the delta-bounce path out of pure-diffuse
+    scenes.
     """
 
     v0: jnp.ndarray      # (T, 3)
@@ -44,16 +49,29 @@ class TriangleMesh:
     e2: jnp.ndarray      # (T, 3)
     n: jnp.ndarray       # (T, 3) unit geometric normals
     albedo: jnp.ndarray  # (3,)
+    material: str = struct.field(pytree_node=False, default="diffuse")
 
     @classmethod
-    def create(cls, vertices, faces, albedo=(0.5, 0.5, 0.5)):
+    def create(cls, vertices, faces, albedo=(0.5, 0.5, 0.5), material="diffuse"):
+        assert material in ("diffuse", "mirror"), material
         v = jnp.asarray(vertices, jnp.float32)
         f = np.asarray(faces, np.int32)
         v0, v1, v2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
         e1, e2 = v1 - v0, v2 - v0
         n = jnp.cross(e1, e2)
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), _EPS)
-        return cls(v0=v0, e1=e1, e2=e2, n=n, albedo=jnp.asarray(albedo, jnp.float32))
+        return cls(v0=v0, e1=e1, e2=e2, n=n, albedo=jnp.asarray(albedo, jnp.float32),
+                   material=material)
+
+    @classmethod
+    def rect(cls, corner, e0, e1, albedo=(0.5, 0.5, 0.5), material="diffuse"):
+        """Parallelogram ``corner + s·e0 + t·e1`` as two triangles (the
+        mirror plane / backdrop card of the reference's mixed scenes)."""
+        c = np.asarray(corner, np.float32)
+        a = np.asarray(e0, np.float32)
+        b = np.asarray(e1, np.float32)
+        verts = [c, c + a, c + a + b, c + b]
+        return cls.create(verts, [[0, 1, 2], [0, 2, 3]], albedo, material)
 
     @classmethod
     def floor(cls, height=0.0, half_extent=10.0, albedo=(0.5, 0.5, 0.5),

@@ -163,8 +163,27 @@ def test_scene_file_mesh_entry(tmp_path):
         load_scene_file(str(p3))
 
 
-def test_prb_rejects_mesh_scene():
+def test_prb_renders_mesh_scene():
+    """PRB supports hybrid SDF+mesh scenes (VERDICT r1 #6; the reference's
+    base-class hybrid intersect, reparam.py:201-232) — primal roughly
+    agrees with the direct integrator on a hybrid scene."""
     scene = _hybrid_scene(res=16, film=16)
+    img_p = np.asarray(render(scene, view_idx=0, seed=0,
+                              cfg=RenderConfig(integrator="sdf_prb_reparam", spp=8, max_depth=2)))
+    img_d = np.asarray(render(scene, view_idx=0, seed=0,
+                              cfg=RenderConfig(integrator="sdf_direct_reparam", spp=8)))
+    assert np.isfinite(img_p).all()
+    assert abs(img_p[..., :3].mean() - img_d[..., :3].mean()) / img_d[..., :3].mean() < 0.15
+
+
+def test_prb_rejects_area_emitter_scene():
+    """Honest capability gate: finite-position area emitters are not in
+    PRB's estimator yet."""
+    from differentiable_sdf_rendering_tpu.models.emitter import AreaEmitter
+
+    scene = _hybrid_scene(res=16, film=16).replace(
+        area_emitter=AreaEmitter.create((0.2, 1.2, 0.2), (0.6, 0, 0), (0, 0, 0.6))
+    )
     cfg = RenderConfig(integrator="sdf_prb_reparam", spp=1)
     with pytest.raises(NotImplementedError):
         render(scene, view_idx=0, cfg=cfg)

@@ -1,0 +1,213 @@
+"""Mirror (smooth conductor) support: delta BSDF conventions, the static
+mirror rect of the reference's ``mirror-opt`` scenes
+(`/root/reference/python/opt_configs.py:257-273`, optimized through with
+WarpPRB in `figures/indirect_reparam/indirect_reparam.py:29-33`), hybrid
+mesh+mirror through PRB, and the torus-shadow hybrid floor."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from differentiable_sdf_rendering_tpu.models.bsdf import ConductorBSDF
+from differentiable_sdf_rendering_tpu.models.camera import regular_cameras
+from differentiable_sdf_rendering_tpu.models.emitter import ConstantEmitter, VMFEmitter
+from differentiable_sdf_rendering_tpu.models.integrator import (
+    RenderConfig,
+    _sample_direct,
+    render,
+)
+from differentiable_sdf_rendering_tpu.models.scene import Scene
+from differentiable_sdf_rendering_tpu.models.scenes_zoo import scene_rig_full, target_sdf
+from differentiable_sdf_rendering_tpu.ops.initializers import create_sphere_sdf
+from differentiable_sdf_rendering_tpu.ops.mesh_intersect import TriangleMesh
+from differentiable_sdf_rendering_tpu.ops.sampling import lane_uniforms
+from differentiable_sdf_rendering_tpu.ops.sdf import GridSDF
+
+
+MIRROR = TriangleMesh.rect(
+    corner=(-0.35, -0.6, -0.6), e0=(0.0, 2.2, 0.0), e1=(0.0, 0.0, 2.2),
+    albedo=(0.9, 0.9, 0.9), material="mirror",
+)
+
+
+def _mirror_scene(res=24):
+    return Scene.create(
+        create_sphere_sdf(32, radius=0.22),
+        emitter=VMFEmitter.create(
+            mu=(0.2, 0.9, 0.1), scale=(20.0,) * 3, ambient=(0.1,) * 3, kappa=40.0
+        ),
+        cameras=regular_cameras(1, resx=res, resy=res),
+        mesh=MIRROR,
+    )
+
+
+def test_conductor_delta_conventions():
+    bsdf = ConductorBSDF.create((0.8, 0.9, 1.0))
+    assert bsdf.delta
+
+    class SI:  # minimal local-frame stub
+        wi = jnp.asarray([[0.3, -0.2, 0.9], [0.1, 0.1, -0.5]])
+
+    wo, pdf, w = bsdf.sample(SI(), jnp.zeros((2, 2)))
+    np.testing.assert_allclose(np.asarray(wo[0]), [-0.3, 0.2, 0.9], atol=1e-6)
+    assert float(pdf[0]) == 1.0 and float(pdf[1]) == 0.0  # below-horizon invalid
+    np.testing.assert_allclose(np.asarray(w[0]), [0.8, 0.9, 1.0])
+    val, p = bsdf.eval_pdf(SI(), wo)
+    assert float(jnp.abs(val).max()) == 0.0 and float(jnp.abs(p).max()) == 0.0
+
+
+def test_mirror_image_equivalence():
+    """Radiance along a ray that first hits the (ideal planar) mirror equals
+    reflectance x radiance of the reflected ray traced in a mirror-free
+    scene — the defining property of the one-bounce specular path in
+    `_sample_direct` (nested reparam demo scene, opt_configs.py:257-273)."""
+    scene = _mirror_scene()
+    scene_nom = scene.replace(mesh=None)
+
+    # rays aimed past the sphere onto the mirror (from +x, slight offsets)
+    n = 64
+    ys = jnp.linspace(0.9, 1.3, n)
+    o = jnp.stack([jnp.full(n, 1.6), ys, jnp.full(n, 0.55)], -1)
+    d = jnp.broadcast_to(jnp.asarray([-1.0, 0.0, 0.0]), (n, 3))
+    uni = lane_uniforms(7, jnp.arange(n, dtype=jnp.uint32), 6)
+    cfg = RenderConfig(integrator="sdf_direct_reparam", spp=1)
+
+    rgb, valid, det, d1 = _sample_direct(scene, o, d, uni, cfg, "primal")
+
+    # mirrored ray: hits the x=-0.35 plane, reflects d_x -> +1
+    t_m = (o[:, 0] - (-0.35)) / 1.0
+    m = o - t_m[:, None] * jnp.asarray([1.0, 0.0, 0.0]) * 0.0  # origin unused below
+    hit_p = o + t_m[:, None] * d
+    d_r = jnp.asarray([1.0, 0.0, 0.0])
+    o_r = hit_p + d_r * 1e-3
+    rgb_ref, _, _, _ = _sample_direct(
+        scene_nom, o_r, jnp.broadcast_to(d_r, (n, 3)), uni, cfg, "primal"
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb), np.asarray(rgb_ref) * 0.9, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_mirror_prb_direct_primal_consistency():
+    """PRB and the direct integrator estimate the same primal on the
+    mirror-opt scene (PRB's extra depth adds only the small multi-bounce
+    remainder)."""
+    rig = scene_rig_full("mirror-opt")
+    sdf = GridSDF.create(target_sdf("mirror-opt", 32))
+    scene = Scene(
+        sdf=sdf, bsdf=rig["bsdf"], emitter=rig["emitter"],
+        cameras=regular_cameras(1, resx=24, resy=24), mesh=rig["mesh"],
+    )
+    img_d = np.asarray(
+        render(scene, 0, seed=0, cfg=RenderConfig(integrator="sdf_direct_reparam", spp=16))
+    )[..., :3]
+    img_p = np.asarray(
+        render(scene, 0, seed=1, cfg=RenderConfig(integrator="sdf_prb_reparam", spp=16, max_depth=3))
+    )[..., :3]
+    assert abs(img_d.mean() - img_p.mean()) / img_d.mean() < 0.06, (
+        img_d.mean(), img_p.mean(),
+    )
+
+
+def test_mirror_reflected_silhouette_gradient_fd():
+    """Boundary gradient THROUGH the mirror: a tilted ray fan sees the
+    sphere directly (lanes around z≈1.1) AND via the mirror (lanes around
+    z≈1.85 reflect off the x=−0.35 plane onto the sphere — verified
+    populations below).  d(y-ramp-weighted sum)/d(shift_y) from AD — which
+    includes the nested reparam of the reflected intersect at depth 1 —
+    must match FD of the primal: the capability the mirror-opt scene
+    exists to demonstrate (reference opt_configs.py:257-273)."""
+    from differentiable_sdf_rendering_tpu.models.integrator import (
+        _compute_si,
+        _ray_intersect,
+    )
+    from differentiable_sdf_rendering_tpu.ops.vecmath import normalize
+
+    big_mirror = TriangleMesh.rect(
+        corner=(-0.35, -1.0, -1.0), e0=(0.0, 3.0, 0.0), e1=(0.0, 0.0, 3.0),
+        albedo=(0.9, 0.9, 0.9), material="mirror",
+    )
+    scene = Scene.create(
+        create_sphere_sdf(48, radius=0.2),
+        emitter=ConstantEmitter.create((1.0, 1.0, 1.0)),
+        cameras=regular_cameras(1, resx=8, resy=8),
+        mesh=big_mirror,
+    )
+
+    n = 64 * 64 * 4
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    k = jax.random.split(jax.random.PRNGKey(0), 2)
+    ys = 0.1 + 0.8 * jax.random.uniform(k[0], (n,))
+    zs = 0.6 + 1.7 * jax.random.uniform(k[1], (n,))
+    o = jnp.stack([jnp.full(n, 1.8), ys, zs], -1)
+    d = jnp.broadcast_to(normalize(jnp.asarray([-1.0, 0.0, -0.45])), (n, 3))
+    cfg = RenderConfig(integrator="sdf_direct_reparam", spp=4)
+
+    # both populations must be present or the test is vacuous
+    its_t, d1, det, maux = _ray_intersect(scene, o, d, 0, cfg, "primal", None)
+    si, is_mesh = _compute_si(scene, o, d1, its_t, maux, False)
+    n_m = si.n
+    d_r = d1 - 2 * jnp.sum(d1 * n_m, -1, keepdims=True) * n_m
+    t2, _, _, _ = _ray_intersect(
+        scene.replace(mesh=None), si.p + d_r * 1e-3, d_r, 1, cfg, "primal", None
+    )
+    assert int((si.valid & ~is_mesh).sum()) > 500, "no direct-hit lanes"
+    assert int((is_mesh & jnp.isfinite(t2)).sum()) > 500, "no reflected-hit lanes"
+
+    # y-ramp-weighted sum: a plain sum is translation-invariant to first
+    # order; the ramp turns the shift into a first-order signal carried by
+    # the moving silhouettes (direct AND reflected).
+    ramp = (ys - 0.5)[..., None]
+
+    def total(shift, mode, seed=3):
+        un = lane_uniforms(seed, lane, 6)
+        sc = scene.replace(sdf=scene.sdf.replace(p=scene.sdf.p + jnp.asarray([0.0, 1.0, 0.0]) * shift))
+        rgb, _, _, _ = _sample_direct(sc, o, d, un, cfg, mode)
+        return jnp.sum(rgb * ramp) / n
+
+    g_ad = float(np.mean([
+        float(jax.grad(lambda s: total(s, "grad", seed))(0.0)) for seed in (3, 11)
+    ]))
+    eps = 1e-2
+    g_fd = float((total(eps, "primal") - total(-eps, "primal")) / (2 * eps))
+    assert np.isfinite(g_ad) and np.isfinite(g_fd)
+    assert abs(g_fd) > 0.05, "FD signal missing — test scene broken"
+    # measured: FD ≈ −0.18, AD seed-mean ≈ −0.19 (per-seed spread ±0.04)
+    assert abs(g_ad - g_fd) / abs(g_fd) < 0.35, (g_ad, g_fd)
+
+
+def test_torus_shadow_floor_receives_shadow():
+    """The hybrid floor darkens under the torus (the reconstruction signal
+    of torus-shadow-1): removing the SDF brightens the image."""
+    rig = scene_rig_full("torus-shadow")
+    sdf_t = GridSDF.create(target_sdf("torus-shadow", 32))
+    empty = GridSDF.create(jnp.full((32, 32, 32), 0.5))
+    cams = regular_cameras(1, resx=24, resy=24)
+    cfg = RenderConfig(integrator="sdf_direct_reparam", spp=8)
+    mk = lambda s: Scene(sdf=s, bsdf=rig["bsdf"], emitter=rig["emitter"], cameras=cams, mesh=rig["mesh"])
+    img_with = np.asarray(render(mk(sdf_t), 0, seed=0, cfg=cfg))[..., :3]
+    img_wo = np.asarray(render(mk(empty), 0, seed=0, cfg=cfg))[..., :3]
+    assert img_wo.mean() > img_with.mean() * 1.05, (img_wo.mean(), img_with.mean())
+
+
+def test_prb_hybrid_floor_gradient_finite():
+    """PRB through the hybrid diffuse floor (lifted NotImplementedError,
+    reference reparam.py:201-232): grad-mode VJP is finite and nonzero."""
+    rig = scene_rig_full("torus-shadow")
+    sdf = GridSDF.create(target_sdf("torus-shadow", 16))
+    scene = Scene(
+        sdf=sdf, bsdf=rig["bsdf"], emitter=rig["emitter"],
+        cameras=regular_cameras(1, resx=16, resy=16), mesh=rig["mesh"],
+    )
+    cfg = RenderConfig(integrator="sdf_prb_reparam", spp=2, max_depth=3)
+
+    def f(data):
+        sc = scene.replace(sdf=scene.sdf.with_data(data))
+        return jnp.sum(render(sc, 0, seed=1, cfg=cfg, mode="grad")[..., :3])
+
+    g = jax.grad(f)(sdf.data)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.linalg.norm(g)) > 1.0
