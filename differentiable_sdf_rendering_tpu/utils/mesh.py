@@ -15,7 +15,7 @@ from .. import native
 from ..ops.redistance import redistance
 from ..ops.initializers import voxel_centers
 
-__all__ = ["load_obj", "icosphere", "create_sdf"]
+__all__ = ["load_obj", "icosphere", "trefoil", "blob", "create_sdf"]
 
 
 def load_obj(path: str):
@@ -74,6 +74,56 @@ def icosphere(subdiv: int = 2, center=(0.5, 0.5, 0.5), radius: float = 0.3):
         faces = np.asarray(new_faces, np.int64)
     verts = verts * radius + np.asarray(center)
     return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def trefoil(n_u: int = 192, n_v: int = 48, tube_r: float = 0.065,
+            center=(0.5, 0.5, 0.5), scale: float = 0.145):
+    """Watertight trefoil-knot tube — a non-trivial (knotted, genus-1)
+    stand-in for the reference's downloadable assets (data contract
+    /root/reference/README.md:66-68).  Parametric torus-knot centerline
+    with a circular tube swept along a rotation-minimizing-ish frame."""
+    u = np.linspace(0.0, 2 * np.pi, n_u, endpoint=False)
+    # trefoil centerline
+    cx = np.sin(u) + 2 * np.sin(2 * u)
+    cy = np.cos(u) - 2 * np.cos(2 * u)
+    cz = -np.sin(3 * u)
+    C = np.stack([cx, cy, cz], -1) * scale + np.asarray(center)
+    # frame from centered-difference tangents
+    T = np.roll(C, -1, 0) - np.roll(C, 1, 0)
+    T /= np.linalg.norm(T, axis=-1, keepdims=True)
+    ref = np.asarray([0.13, 0.97, 0.21])
+    N = np.cross(T, ref)
+    N /= np.linalg.norm(N, axis=-1, keepdims=True)
+    B = np.cross(T, N)
+    v = np.linspace(0.0, 2 * np.pi, n_v, endpoint=False)
+    ring = (np.cos(v)[:, None, None] * N[None] + np.sin(v)[:, None, None] * B[None])
+    verts = (C[None] + tube_r * ring).reshape(-1, 3)  # (n_v * n_u, 3)
+
+    def vid(i, j):  # ring i, segment j
+        return (i % n_v) * n_u + (j % n_u)
+
+    faces = []
+    for j in range(n_u):
+        for i in range(n_v):
+            a, b = vid(i, j), vid(i + 1, j)
+            c, d = vid(i + 1, j + 1), vid(i, j + 1)
+            faces += [[a, b, c], [a, c, d]]
+    return verts.astype(np.float32), np.asarray(faces, np.int32)
+
+
+def blob(subdiv: int = 3, center=(0.5, 0.5, 0.5), radius: float = 0.27, amp: float = 0.35):
+    """Watertight irregular blob: an icosphere displaced by smooth
+    low-frequency harmonics (asymmetric, concave in places)."""
+    verts, faces = icosphere(subdiv, center=(0, 0, 0), radius=1.0)
+    x, y, z = verts[:, 0], verts[:, 1], verts[:, 2]
+    disp = (
+        0.55 * np.sin(3.1 * x + 1.3) * np.cos(2.3 * y)
+        + 0.45 * np.sin(2.7 * y * z + 0.7)
+        + 0.35 * np.cos(3.7 * z + 2.1) * np.sin(1.9 * x * y)
+    )
+    r = 1.0 + amp * disp
+    verts = verts * r[:, None] * radius + np.asarray(center, np.float32)
+    return verts.astype(np.float32), faces
 
 
 def create_sdf(mesh, res: int = 128, refine_band: float | None = None):
