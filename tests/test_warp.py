@@ -146,3 +146,85 @@ def test_reparam_primal_values_unchanged():
     _, d_rep, div = reparameterize(sdf, o, d)
     np.testing.assert_allclose(np.asarray(d_rep), np.asarray(d), atol=1e-7)
     np.testing.assert_allclose(np.asarray(div), 1.0, atol=1e-7)
+
+
+def test_divergence_small_t_camera_close_to_surface():
+    """VERDICT r1 weak #6: warp_eval divides dt_dx by t_safe; strategy-6's
+    eps = edge_eps*t shrinkage must keep the divergence consistent (and its
+    parameter gradient finite) when the hit distance is ~20x smaller than
+    the standard rigs' t~2 — a camera almost touching the surface."""
+    cfg = WarpConfig()
+    tp = TraceParams()
+    n = 96
+    delta = 0.02  # origin 0.02 in front of the sphere -> grazing t ~ 0.11
+    o = jnp.broadcast_to(jnp.asarray([0.5, 0.5, 0.5 - RADIUS - delta]), (n, 3))
+    ang = jnp.linspace(0, 2 * jnp.pi, n, endpoint=False)
+    # aim just outside the tangent cone: sin(theta) ~ R/(R+delta)
+    s = float(RADIUS / (RADIUS + delta))
+    spread = s * (1.0 + 0.03 * jnp.cos(ang * 2.0) + 0.02)
+    u = normalize(
+        jnp.stack(
+            [spread * jnp.cos(ang), spread * jnp.sin(ang),
+             jnp.sqrt(jnp.maximum(1e-6, 1.0 - spread**2))], -1)
+    )
+
+    _, ddiv_dp, usable = _velocity_and_div_grad(o, u, cfg, tp)
+    assert np.asarray(usable).sum() > 20
+    an = np.asarray(ddiv_dp)[np.asarray(usable)]
+    assert np.all(np.isfinite(an))
+
+    up = jnp.asarray([0.3, 0.9, 0.1])
+    e1 = normalize(jnp.cross(jnp.broadcast_to(up, u.shape), u))
+    e2 = normalize(jnp.cross(u, e1))
+    eps = 2e-5  # silhouette features shrink with t; tighter FD step
+    fd_div = np.zeros((n, 3))
+    ok = np.asarray(usable).copy()
+    for e in (e1, e2):
+        Wp, _, okp = _velocity_and_div_grad(o, normalize(u + eps * e), cfg, tp)
+        Wm, _, okm = _velocity_and_div_grad(o, normalize(u - eps * e), cfg, tp)
+        fd_div += np.einsum(
+            "ni,nik->nk", np.asarray(e), np.asarray(Wp) - np.asarray(Wm)
+        ) / (2 * eps)
+        ok &= np.asarray(okp) & np.asarray(okm)
+
+    an = np.asarray(ddiv_dp)
+    mag = np.abs(fd_div) + np.abs(an)
+    sel = ok[:, None] & (mag > 2.0) & np.isfinite(fd_div)
+    assert sel.sum() > 10, sel.sum()
+    rel = np.abs(fd_div[sel] - an[sel]) / np.maximum(np.abs(fd_div[sel]), 2.0)
+    assert np.median(rel) < 0.10, (np.median(rel), np.percentile(rel, 90))
+
+
+def test_warp_eval_finite_at_shadow_eps_scale_t():
+    """Secondary rays can report warp_t at shadow-eps scale (~1e-3) with a
+    large dt_dx; warp_eval must stay finite in value and gradient (the
+    dt_dx/t_safe term is the amplification risk)."""
+    cfg = WarpConfig()
+    p0 = jnp.zeros(3)
+    n = 16
+    ang = jnp.linspace(0, 2 * jnp.pi, n, endpoint=False)
+    # points just off the surface, directions grazing it
+    nrm = jnp.stack([jnp.cos(ang), jnp.sin(ang), jnp.zeros(n)], -1)
+    x = jnp.asarray(CENTER) + (RADIUS + 1e-4) * nrm
+    u = normalize(jnp.stack([-jnp.sin(ang), jnp.cos(ang), jnp.full((n,), 0.05)], -1))
+    t = jnp.full((n,), 1e-3)
+    dt_dx = 80.0 * nrm  # large sensitivity, as near-tangent hits produce
+
+    def f(p):
+        sdf = SphereSDF.create(jnp.asarray(CENTER) + p, RADIUS)
+        warp, div = warp_eval(sdf, x, u, t, dt_dx, cfg)
+        return jnp.sum(warp * jnp.asarray([0.2, 0.5, 0.3])) + jnp.sum(div)
+
+    val, g = jax.value_and_grad(f)(p0)
+    assert np.isfinite(float(val))
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g))
+    # bounded amplification: strategy-6 shrinks eps with t, so the gradient
+    # must not blow up as 1/t — compare against the same setup at t=1.0
+    def f1(p):
+        sdf = SphereSDF.create(jnp.asarray(CENTER) + p, RADIUS)
+        warp, div = warp_eval(sdf, x, u, jnp.ones((n,)), dt_dx, cfg)
+        return jnp.sum(warp * jnp.asarray([0.2, 0.5, 0.3])) + jnp.sum(div)
+
+    g1 = np.asarray(jax.grad(f1)(p0))
+    assert np.linalg.norm(g) < 1e3 * max(1.0, np.linalg.norm(g1))
