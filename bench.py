@@ -211,9 +211,11 @@ def trace_variants():
     def timed(f):
         sync(f(o, d))  # compile + warm
         t0 = time.perf_counter()
-        outs = [f(o, d) for _ in range(reps)]  # enqueue all, then one fetch
-        for r in outs:
-            sync(r)
+        outs = [f(o, d) for _ in range(reps)]  # enqueue all...
+        # ...then ONE fetch of a value depending on every rep (each sync()
+        # is a full tunnel round trip, ~30 ms — fetching per rep would
+        # re-introduce exactly the latency this amortizes away)
+        sync(sum(jnp.ravel(r)[0] for r in outs))
         return (time.perf_counter() - t0) / reps
 
     variants = {

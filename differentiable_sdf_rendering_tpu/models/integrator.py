@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..ops.film import BORDER, develop, splat
 from ..ops.interaction import compute_surface_interaction, coordinate_frame
 from ..ops.sampling import lane_uniforms, mis_weight
-from ..ops.sdf import TraceParams
+from ..ops.sdf import GridSDF, TraceParams
 from ..ops.trace import sphere_trace
 from ..ops.vecmath import normalize, replace_grad
 from ..ops.warp import WarpConfig, reparameterize
@@ -402,6 +402,16 @@ def render_lane_block(scene, camera, lane, seed, cfg: RenderConfig, mode="primal
     (H+2b, W+2b, 5) block; blocks from lane shards sum (psum) before
     :func:`develop`.
     """
+    # Prepare the ATTACHED stencil table once per program: every attached
+    # SDF evaluation (surface normals, warp field jets) then rides the
+    # contiguous-row gather (~10× the per-tap path on TPU, ops/grid.py),
+    # and the VJP becomes a row-wise scatter into the table plus the dense
+    # fold of build_stencil's pad/slice — both TPU-friendly — instead of 64
+    # scalar scatters per query.  Values are exactly equivalent; gradients
+    # flow data → stencil → taps.  stencil_ok gates the 64× memory blow-up.
+    if isinstance(scene.sdf, GridSDF) and scene.sdf.stencil is None:
+        scene = scene.replace(sdf=scene.sdf.prepare())
+
     W, H = camera.resx, camera.resy
     b = BORDER if cfg.sample_border else 0
     pw = W + 2 * b

@@ -314,14 +314,12 @@ def sphere_trace_warp(
     use_extra = params.use_extra_weight
     zero3 = jnp.zeros_like(d)
 
-    def convert_deriv(in_d, t, t_d):
+    def convert_deriv(in_d, t, t_d, d):
         # spatial gradient → gradient w.r.t. ray direction (shapes.py:126-127)
         return t[..., None] * in_d + dot(d, in_d)[..., None] * t_d
 
-    def cond(s):
-        return jnp.any(s["active"])
-
-    def body(s):
+    def body(s, c):
+        o, d, maxt, trace_eps = c["o"], c["d"], c["maxt"], c["trace_eps"]
         act = s["active"]
         act3 = act[..., None]
         t = s["t"]
@@ -356,8 +354,8 @@ def sphere_trace_warp(
         warp_t = s["warp_t"] + jnp.where(act, weight_increment * t, 0.0)
 
         t_d = s["t_d"]
-        weight_d = convert_deriv(weight_d, t, t_d)
-        sdf_grad_c = convert_deriv(g, t, t_d)
+        weight_d = convert_deriv(weight_d, t, t_d, d)
+        sdf_grad_c = convert_deriv(g, t, t_d, d)
         segment_d = 0.5 * (sdf_grad_c + s["prev_sdf_grad_c"])
 
         if use_extra:
@@ -373,7 +371,7 @@ def sphere_trace_warp(
             weight_d = weight[..., None] * ew_sum_d + weight_d * ew_sum[..., None]
             weight = weight * ew_sum
         else:
-            ew_sum_d = zero3
+            ew_sum_d = jnp.zeros_like(s["t_d"])
 
         weight_increment_d = weight[..., None] * segment_d + weight_d * segment_length[..., None]
         mixed_sum_d = s["mixed_sum_d"] + jnp.where(
@@ -418,7 +416,13 @@ def sphere_trace_warp(
         "extra_weight_sum": jnp.zeros_like(t0),
         "extra_weight_sum_d": zero3,
     }
-    s = jax.lax.while_loop(cond, body, state)
+    # Active-lane compaction (same staging as the non-diff trace): trip
+    # counts are heavily skewed, and a full-width while_loop makes the whole
+    # batch pay for the worst lane — measured 13× slower at 17 k lanes and
+    # *superlinear* in batch size (the straggler tail grows with n).  Pure
+    # lane reordering: per-lane values are bit-identical.
+    consts = {"o": o, "d": d, "maxt": maxt, "trace_eps": trace_eps}
+    s = _staged_while(body, state, consts, params.compact_stages)
 
     its_t = s["its_t"]
     if params.refine_intersection:

@@ -55,8 +55,9 @@ def main():
         sync(f(*args))  # compile + warm
         t0 = time.perf_counter()
         outs = [f(*args) for _ in range(reps)]
-        for r in outs:
-            sync(r)
+        # ONE fetch depending on every rep: each sync() is a ~30 ms tunnel
+        # round trip, so fetching per rep would measure RTT, not the device.
+        sync(sum(jnp.ravel(jax.tree_util.tree_leaves(r)[0])[0] for r in outs))
         return (time.perf_counter() - t0) / reps
 
     out = {}

@@ -27,3 +27,15 @@ import jax  # noqa: E402
 # enough — update the live config too.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# The suite is dominated by first-compiles of the render/VJP programs
+# (~40 min cold).  A persistent compilation cache makes re-runs cheap, and
+# `pytest -n 4` (pytest-xdist) parallelizes the cold run itself.
+_cache_dir = os.environ.get(
+    "JAX_TEST_CACHE", os.path.expanduser("~/.cache/jax_test_compilation_cache")
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache flags unavailable on this jax version: run cold
+    pass
