@@ -57,6 +57,8 @@ def main():
     }[scale]
     if "BENCH_SLICE" in os.environ:  # lanes-per-program override (fragile chips)
         slice_spp = int(os.environ["BENCH_SLICE"])
+    if "BENCH_RUNS" in os.environ:  # e.g. 1 for a first cautious full-protocol run
+        n_runs = int(os.environ["BENCH_RUNS"])
 
     sdf_data = target_sdf("bunny", grid_res)
     cam = regular_cameras(1, resx=res, resy=res).view(0)

@@ -137,7 +137,7 @@ def test_mirror_reflected_silhouette_gradient_fd():
         mesh=big_mirror,
     )
 
-    n = 64 * 64 * 4
+    n = 64 * 64 * 2
     lane = jnp.arange(n, dtype=jnp.uint32)
     k = jax.random.split(jax.random.PRNGKey(0), 2)
     ys = 0.1 + 0.8 * jax.random.uniform(k[0], (n,))
@@ -168,11 +168,13 @@ def test_mirror_reflected_silhouette_gradient_fd():
         rgb, _, _, _ = _sample_direct(sc, o, d, un, cfg, mode)
         return jnp.sum(rgb * ramp) / n
 
-    g_ad = float(np.mean([
-        float(jax.grad(lambda s: total(s, "grad", seed))(0.0)) for seed in (3, 11)
-    ]))
+    # jit both programs: compiled once, called twice (eager dispatch of the
+    # warp-trace graph dominated this test's wall time)
+    g_fun = jax.jit(jax.grad(lambda s, seed: total(s, "grad", seed)))
+    g_ad = float(np.mean([float(g_fun(0.0, seed)) for seed in (3, 11)]))
     eps = 1e-2
-    g_fd = float((total(eps, "primal") - total(-eps, "primal")) / (2 * eps))
+    total_p = jax.jit(lambda s: total(s, "primal"))
+    g_fd = float((total_p(eps) - total_p(-eps)) / (2 * eps))
     assert np.isfinite(g_ad) and np.isfinite(g_fd)
     assert abs(g_fd) > 0.05, "FD signal missing — test scene broken"
     # measured: FD ≈ −0.18, AD seed-mean ≈ −0.19 (per-seed spread ±0.04)

@@ -117,9 +117,18 @@ def test_sharded_optimize_shape_matches_single():
     )
 
 
+@pytest.mark.slow
 def test_sharded_view_grads(scene):
     """The view-DP helper: loss+grads psum over the 'views' axis matches the
-    unsharded sum."""
+    unsharded sum.
+
+    Slow-marked: the reference side must run EAGERLY — a jitted single-device
+    reference (even with a static view index) differs from the shard_map
+    values by ~4% on ~5% of boundary voxels, because silhouette gradients
+    amplify compilation-dependent ulp differences on grazing lanes into
+    hit/miss flips.  The fast suite covers view sharding through the
+    production-step comparison (test_sharded_view_batch_loss_grads_match),
+    which is jit-vs-jit and stable."""
     import jax.numpy as jnp
 
     from differentiable_sdf_rendering_tpu.parallel.sharding import sharded_view_grads
