@@ -225,6 +225,10 @@ def trace_variants():
         "stencil_nocompact": TraceParams(compact_stages=()),
         "pertap+compact": None,  # stencil suppressed via bare (unprepared large) path
         "stencil+overrelax": TraceParams(over_relax=1.4),
+        # compaction-schedule sweep: earlier/steeper stages trade extra
+        # gather/scatter bookkeeping for fewer full-width loop iterations
+        "stencil+compact2": TraceParams(compact_stages=(2, 8, 64)),
+        "stencil+compact4": TraceParams(compact_stages=(4, 16, 128)),
     }
     times = {}
     for name, params in variants.items():

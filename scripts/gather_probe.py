@@ -96,6 +96,38 @@ def main():
 
         rec(f"xla_take_R{tr//1000}k_w{w}", timed(take2, tab2, idx2), n)
 
+    # REAL trace-step indices: stencil rows actually requested by the first
+    # sphere-trace step of the Fig-9a bunny workload (spatially coherent in
+    # pixel order — the regime the trace loop actually runs in, vs the
+    # worst-case random indices above)
+    try:
+        from differentiable_sdf_rendering_tpu.models.camera import regular_cameras as _rc
+        from differentiable_sdf_rendering_tpu.models.scenes_zoo import target_sdf as _ts
+        from differentiable_sdf_rendering_tpu.ops.sdf import GridSDF as _G
+
+        _res = 64 if small else 272
+        _spp = 2 if small else 4
+        _cam = _rc(1, resx=_res, resy=_res).view(0)
+        _n = _res * _res * _spp
+        _pix = jnp.arange(_n, dtype=jnp.uint32) // _spp
+        _pos = jnp.stack([(_pix % _res).astype(jnp.float32) + 0.5,
+                          (_pix // _res).astype(jnp.float32) + 0.5], -1)
+        _o, _d = _cam.sample_ray(_pos)
+        _sdf = _G.create(_ts("bunny", grid_res))
+        # entry points into the grid: position at t = bbox entry + 0.5 voxel
+        _x = jnp.clip(_o + 2.05 * _d, 0.0, 1.0)
+        _c = _x * grid_res - 0.5
+        _b = jnp.clip(jnp.floor(_c).astype(jnp.int32), -2, grid_res) + 2
+        _lin = (_b[:, 2] * (grid_res + 3) + _b[:, 1]) * (grid_res + 3) + _b[:, 0]
+
+        @jax.jit
+        def take_real(table, idx):
+            return jnp.take(table, idx, axis=0)
+
+        rec(f"xla_take_trace_coherent_{_n//1000}k", timed(take_real, table, _lin), _n)
+    except Exception as e:  # noqa: BLE001
+        print(f"  coherent-trace probe FAILED: {str(e)[:200]}", flush=True)
+
     # per-tap: 64 scalar gathers from the flat grid (the pre-stencil path)
     tap = jax.random.randint(jax.random.PRNGKey(3), (n, 4, 4, 4), 0, grid_res**3, jnp.int32)
 
