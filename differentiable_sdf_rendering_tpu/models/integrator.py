@@ -69,6 +69,11 @@ class RenderConfig:
     conv: ConvWarpConfig = ConvWarpConfig()
     # mirrored pixel-jitter pairs (reparam.py:19,167-178; used in evaluation)
     antithetic_sampling: bool = False
+    # Scatter-free film accumulation (ops/film.splat_pixel_major) whenever
+    # the wavefront is pixel-major and spp-aligned — a large TPU win (XLA
+    # scatter-add is row-serial).  Escape hatch for callers that hand
+    # render_lane_block a non-contiguous lane set.
+    dense_splat: bool = True
 
 
 def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None, maxt=jnp.inf,
@@ -471,6 +476,17 @@ def render_lane_block(scene, camera, lane, seed, cfg: RenderConfig, mode="primal
     values = jnp.concatenate(
         [rgb * rw[..., None], alpha[..., None], weight_ch[..., None]], axis=-1
     )
+    # Scatter-free fast path: this function's own lane→pixel mapping
+    # (pix = lane // spp over a contiguous spp-aligned lane range — true
+    # for render/render_chunked/render_sharded/bench wavefronts) satisfies
+    # splat_pixel_major's pixel-major contract.  The splat position's
+    # *primal value* always lies inside the lane's own pixel even in grad
+    # mode (d1's value equals d under replace_grad), so the 6×6 window
+    # always contains the filter support.
+    if cfg.dense_splat and lane.ndim == 1 and lane.shape[0] % spp == 0:
+        from ..ops.film import splat_pixel_major
+
+        return splat_pixel_major(pix, splat_pos, values, H, W, spp, border=b)
     return splat(splat_pos, values, H, W, border=b)
 
 
