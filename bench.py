@@ -41,6 +41,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from differentiable_sdf_rendering_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
     from differentiable_sdf_rendering_tpu.models.camera import regular_cameras
     from differentiable_sdf_rendering_tpu.models.integrator import RenderConfig, render_lane_block
     from differentiable_sdf_rendering_tpu.models.scene import Scene
@@ -184,6 +188,10 @@ def trace_variants():
 
     import jax
     import jax.numpy as jnp
+
+    from differentiable_sdf_rendering_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     from differentiable_sdf_rendering_tpu.models.camera import regular_cameras
     from differentiable_sdf_rendering_tpu.models.scenes_zoo import target_sdf

@@ -11,7 +11,28 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["force_cpu"]
+__all__ = ["force_cpu", "enable_compile_cache"]
+
+
+def enable_compile_cache(path: str | None = None):
+    """Persistent XLA compilation cache for device (bench/profile) runs.
+
+    Remote-TPU compiles of the big render/VJP programs take minutes and
+    worker crashes force re-runs; caching compiled executables client-side
+    makes a retried measurement session start ~warm.  Best-effort: a
+    backend whose executables don't serialize just ignores the cache.
+    """
+    import jax
+
+    cache = path or os.environ.get(
+        "SDF_COMPILE_CACHE", os.path.expanduser("~/.cache/sdf_tpu_compile_cache")
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 — strictly an optimization
+        pass
 
 
 def force_cpu(virtual_devices: int | None = None):

@@ -34,6 +34,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from differentiable_sdf_rendering_tpu.utils.platform import enable_compile_cache
+
+enable_compile_cache()
+
 
 def sync(x):
     return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))

@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from differentiable_sdf_rendering_tpu.utils.platform import enable_compile_cache
+
+enable_compile_cache()
+
 from differentiable_sdf_rendering_tpu.models.camera import regular_cameras
 from differentiable_sdf_rendering_tpu.models.integrator import (
     RenderConfig,
