@@ -237,6 +237,8 @@ def trace_variants():
         # gather/scatter bookkeeping for fewer full-width loop iterations
         "stencil+compact2": TraceParams(compact_stages=(2, 8, 64)),
         "stencil+compact4": TraceParams(compact_stages=(4, 16, 128)),
+        # tile-shared 7³ window trace: one gather row per spp-tile per step
+        "window+tile": TraceParams(tile=spp),
     }
     times = {}
     for name, params in variants.items():

@@ -31,11 +31,15 @@ _HI = jax.lax.Precision.HIGHEST
 __all__ = [
     "bspline_weights",
     "build_stencil",
+    "build_window",
     "grid_eval",
     "grid_eval_grad",
     "grid_eval_all",
     "grid_eval_trilinear",
     "stencil_ok",
+    "window_base_setup",
+    "window_eval_value",
+    "window_ok",
 ]
 
 
@@ -78,6 +82,98 @@ def build_stencil(data: jnp.ndarray) -> jnp.ndarray:
                     jax.lax.dynamic_slice(padded, (a, b, c), (z + 3, y + 3, x + 3))
                 )
     return jnp.stack(cols, axis=-1).reshape((z + 3) * (y + 3) * (x + 3), 64)
+
+
+# Tile-shared 7³ window tables (ops/trace tile trace): 343 floats/row is a
+# 343× memory blow-up over the grid — 412 MB at 64³, gate off above that.
+_WINDOW_MAX_VOXELS = (64 + 3) ** 3 + 1
+
+
+def window_ok(data) -> bool:
+    """Whether a 7³ window table for this grid fits the HBM budget."""
+    z, y, x = data.shape[-3], data.shape[-2], data.shape[-1]
+    return (z + 3) * (y + 3) * (x + 3) <= _WINDOW_MAX_VOXELS
+
+
+def build_window(data: jnp.ndarray) -> jnp.ndarray:
+    """Window table: every 7×7×7 tap block as ONE contiguous 343-float row.
+
+    TPU-native gather amortization for *tile-coherent* queries (the samples
+    of one pixel trace within sub-voxel of each other): XLA's TPU gather
+    cost scales with the ROW count, so one 7³ row shared by a 16-lane tile
+    replaces 16 stencil rows — the taps of every lane whose 4³ support base
+    lies within [B, B+3] of the tile base B.  Row r = taps
+    ``padded[B-1 .. B+5]`` for ``B = clip(base) ∈ [-2, dim]`` (row index =
+    B+2 per axis), so per-lane tap windows are recovered with the shifted
+    7-wide weights of :func:`window_eval_value` — bit-identical tap values
+    to the stencil path.
+    """
+    z, y, x = data.shape[-3], data.shape[-2], data.shape[-1]
+    # high-side pad 6: the last tap's slice starts at offset 7 and spans
+    # dim+3 — anything less and dynamic_slice silently clamps the start
+    padded = jnp.pad(data, ((4, 6), (4, 6), (4, 6)), mode="edge")
+    cols = []
+    for a in range(7):
+        for b in range(7):
+            for c in range(7):
+                # window[B+2][a,b,c] = data[clip(B-1+a)] = padded[B+3+a]
+                # with row index i = B+2: padded[i+1+a]
+                cols.append(
+                    jax.lax.dynamic_slice(
+                        padded, (a + 1, b + 1, c + 1), (z + 3, y + 3, x + 3)
+                    )
+                )
+    return jnp.stack(cols, axis=-1).reshape((z + 3) * (y + 3) * (x + 3), 343)
+
+
+def window_base_setup(data: jnp.ndarray, p: jnp.ndarray):
+    """Per-lane clipped stencil base + fraction for window evaluation.
+
+    Identical base/fraction math to :func:`_tap_setup`'s stencil branch.
+    Returns ``(base (..., 3) int32 in [-2, dim], f (..., 3))``.
+    """
+    zres, yres, xres = data.shape[-3], data.shape[-2], data.shape[-1]
+    res = jnp.asarray([xres, yres, zres], dtype=p.dtype)
+    c = p * res - 0.5
+    base = jnp.floor(c)
+    f = c - base
+    base = base.astype(jnp.int32)
+    dims = jnp.asarray([xres, yres, zres], jnp.int32)
+    return jnp.clip(base, -2, dims), f
+
+
+def _shift7(w4: jnp.ndarray, o: jnp.ndarray) -> jnp.ndarray:
+    """Zero-padded shift: ``w7[k] = w4[k - o]`` for per-lane ``o ∈ [0, 3]``.
+
+    Branch-free (4 masked broadcasts); out-of-range o yields all-zero
+    contributions for the shifted-out taps.
+    """
+    k = jnp.arange(7, dtype=jnp.int32)
+    w7 = jnp.zeros(w4.shape[:-1] + (7,), w4.dtype)
+    for j in range(4):
+        w7 = w7 + jnp.where(k == (o[..., None] + j), w4[..., j : j + 1], 0.0)
+    return w7
+
+
+def window_eval_value(rows: jnp.ndarray, o: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    """Cubic B-spline value from a shared 7³ window row.
+
+    Args:
+      rows: (..., 343) window rows (z-major like the stencil layout).
+      o: (..., 3) integer offset of the lane's stencil base within the
+        window base, each component in [0, 3].
+      f: (..., 3) per-lane fractional coordinate.
+
+    Returns the same value the stencil/per-tap path computes for this lane
+    (the 4³ support is embedded in the 7³ window at offset ``o``).
+    """
+    taps = rows.reshape(rows.shape[:-1] + (7, 7, 7))
+    wx = _shift7(bspline_weights(f[..., 0])[0], o[..., 0])
+    wy = _shift7(bspline_weights(f[..., 1])[0], o[..., 1])
+    wz = _shift7(bspline_weights(f[..., 2])[0], o[..., 2])
+    t = jnp.einsum("...zyx,...x->...zy", taps, wx, precision=_HI)
+    t = jnp.einsum("...zy,...y->...z", t, wy, precision=_HI)
+    return jnp.einsum("...z,...z->...", t, wz, precision=_HI)
 
 
 def bspline_weights(f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -150,6 +150,84 @@ def _ray_setup(sdf, o, d, params: TraceParams, maxt):
     return d, (bmin, bmax), hit, inside, t0, maxt, trace_eps
 
 
+def _tile_trace(sdf, o, d, params: TraceParams, maxt, active0, t0, trace_eps):
+    """Lockstep tile trace: one shared 7³ window gather per tile per step.
+
+    TPU gather cost is row-bound, so the per-lane stencil row is the trace
+    loop's dominant cost.  The ``tile`` consecutive lanes of one pixel stay
+    within sub-voxel of each other when stepped in lockstep (every active
+    lane advances by the tile-min conservative step — still a valid sphere
+    trace: steps ≤ the SDF bound can never cross the surface undetected),
+    so ONE window row per tile serves all their tap supports
+    (ops/grid.build_window), cutting gather rows ~``tile``×.
+
+    Returns ``(its_t, escalate)``: lanes whose tap support left the shared
+    window (tile spread > 3 voxels — possible only for extreme
+    direction/depth spreads) come back with ``escalate=True`` and must be
+    re-traced by the caller on the per-lane path.  Everything else carries
+    the ordinary contract (its_t = first t with f < ε, inf = miss).
+    """
+    from .grid import window_base_setup, window_eval_value
+
+    k = params.tile
+    n = t0.shape[0]
+    tiles = n // k
+    data, p = sdf.data, sdf.p
+    zres, yres, xres = data.shape[-3], data.shape[-2], data.shape[-1]
+
+    def shp(a):  # lane vectors → (tiles, k)
+        return a.reshape((tiles, k) + a.shape[1:])
+
+    scale = params.step_scale
+
+    def body(s, c):
+        act, t, its_t, esc, i = s["active"], s["t"], s["its_t"], s["esc"], s["i"]
+        x = c["o"] + t[..., None] * c["d"] - p
+        b, f = window_base_setup(data, x)  # (T, k, 3) int, frac
+        big = jnp.int32(1 << 20)
+        bb = jnp.where(act[..., None], b, big)
+        B = jnp.min(bb, axis=1)  # (T, 3) tile base
+        B = jnp.clip(B, -2, jnp.asarray([xres, yres, zres], jnp.int32))
+        off = b - B[:, None, :]
+        viol = act & jnp.any((off < 0) | (off > 3), axis=-1)
+        lin = ((B[:, 2] + 2) * (yres + 3) + (B[:, 1] + 2)) * (xres + 3) + (B[:, 0] + 2)
+        rows = jnp.take(sdf.window, lin, axis=0)  # (T, 343)
+        fv = window_eval_value(rows[:, None, :], jnp.clip(off, 0, 3), f) * scale
+
+        hit = fv < c["trace_eps"]
+        ok = act & ~viol
+        its_t = jnp.where(ok & hit, t, its_t)
+        esc = esc | viol
+        act = ok & ~hit
+        # lockstep: every active lane advances by the tile-min distance
+        # bound (a conservative, therefore valid, sphere-trace step)
+        step = jnp.min(jnp.where(act, jnp.abs(fv), jnp.inf), axis=1, keepdims=True)
+        step = jnp.where(jnp.isfinite(step), step, 0.0)
+        t_new = jnp.where(act, t + step, t)
+        act = act & (t_new <= c["maxt"]) & (i + 1 < params.max_steps)
+        return {"active": act, "t": t_new, "its_t": its_t, "esc": esc, "i": i + 1}
+
+    state = {
+        "active": shp(active0),
+        "t": shp(t0),
+        "its_t": shp(jnp.full_like(t0, _INF)),
+        "esc": shp(jnp.zeros_like(active0)),
+        "i": jnp.zeros((tiles, k), jnp.int32),
+    }
+    consts = {
+        "o": shp(o),
+        "d": shp(d),
+        "maxt": shp(maxt),
+        "trace_eps": shp(jnp.broadcast_to(trace_eps, t0.shape)),
+    }
+
+    def cond(s):
+        return jnp.any(s["active"])
+
+    s = jax.lax.while_loop(cond, lambda s: body(s, consts), state)
+    return s["its_t"].reshape(n), s["esc"].reshape(n)
+
+
 def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, active=True):
     """Non-differential sphere trace → intersection distance (N,), inf = miss.
 
@@ -162,6 +240,28 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
     maxt = jnp.broadcast_to(jnp.asarray(maxt, o.dtype), o.shape[:-1])
     d, _, hit, _, t0, maxt, trace_eps = _ray_setup(sdf, o, d, params, maxt)
     active0 = jnp.broadcast_to(jnp.asarray(active, bool), t0.shape) & hit
+
+    use_tile = (
+        params.tile > 1
+        and params.over_relax == 1.0
+        and t0.ndim == 1
+        and t0.shape[0] % params.tile == 0
+        and isinstance(sdf, GridSDF)
+    )
+    if use_tile:
+        from .grid import window_ok
+
+        if sdf.window is None and window_ok(sdf.data):
+            sdf = sdf.prepare_window()
+        use_tile = sdf.window is not None
+    if use_tile:
+        tile_its_t, esc = _tile_trace(sdf, o, d, params, maxt, active0, t0, trace_eps)
+        # Lanes whose tap support left the shared window (tile spread > 3
+        # voxels) re-trace on the per-lane stencil path below; with no such
+        # lanes that loop's cond is False on entry and it costs ~nothing.
+        active0 = esc
+    else:
+        tile_its_t, esc = None, None
 
     scale = params.step_scale
     relax = params.over_relax
@@ -225,6 +325,8 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
         state["step_len"] = jnp.zeros_like(t0)
     consts = {"o": o, "d": d, "maxt": maxt, "trace_eps": trace_eps}
     its_t = _staged_while(body, state, consts, params.compact_stages)["its_t"]
+    if tile_its_t is not None:
+        its_t = jnp.where(esc, its_t, tile_its_t)
 
     if params.refine_intersection:
         its_t = _refine(sdf, o, d, its_t, trace_eps, params)
