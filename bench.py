@@ -67,7 +67,12 @@ def main():
     sdf_data = target_sdf("bunny", grid_res)
     cam = regular_cameras(1, resx=res, resy=res).view(0)
     scene = Scene.create(sdf_data, cameras=regular_cameras(1, resx=res, resy=res))
-    cfg_p = RenderConfig(integrator="sdf_direct_reparam", spp=primal_spp)
+    # BENCH_TILE=1: tile-shared window tracing on primary rays (device A/B).
+    # Tiles subdivide a pixel's lane run, so any divisor of primal_spp that
+    # also divides the slice offset works; 64 keeps every scale aligned.
+    tile = min(primal_spp, 64) if os.environ.get("BENCH_TILE", "0") == "1" else 0
+    cfg_p = RenderConfig(integrator="sdf_direct_reparam", spp=primal_spp,
+                         tile_primary=tile)
     cfg_g = RenderConfig(integrator="sdf_direct_reparam", spp=adjoint_spp)
     b = BORDER
     pw = (res + 2 * b) * (res + 2 * b)

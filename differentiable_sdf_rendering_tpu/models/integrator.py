@@ -74,6 +74,11 @@ class RenderConfig:
     # scatter-add is row-serial).  Escape hatch for callers that hand
     # render_lane_block a non-contiguous lane set.
     dense_splat: bool = True
+    # Tile-shared window tracing for PRIMARY rays (TraceParams.tile on the
+    # depth-0 trace only): the spp samples of a pixel are tile-coherent,
+    # secondary/shadow directions are not (they would all escalate).
+    # 0 = off; typically set to the per-program samples-per-pixel.
+    tile_primary: int = 0
 
 
 def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None, maxt=jnp.inf,
@@ -91,6 +96,10 @@ def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None, m
     invariant; skipping saves ~10 grid evals on every shadow-hit lane)."""
     if occlusion and cfg.trace.refine_intersection:
         cfg = dataclasses.replace(cfg, trace=dataclasses.replace(cfg.trace, refine_intersection=False))
+    if cfg.tile_primary > 1 and depth == 0 and cfg.trace.tile == 0:
+        # primary rays are pixel-tile-coherent; deeper bounces/shadow rays
+        # are not (they would pay the window attempt then escalate)
+        cfg = dataclasses.replace(cfg, trace=dataclasses.replace(cfg.trace, tile=cfg.tile_primary))
     reparam = mode != "primal" and cfg.use_warp and cfg.warp_kind != "dummy"
     if reparam and cfg.warp.max_reparam_depth >= 0 and depth > cfg.warp.max_reparam_depth:
         reparam = False
