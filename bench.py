@@ -244,9 +244,19 @@ def trace_variants():
         "stencil+compact4": TraceParams(compact_stages=(4, 16, 128)),
         # tile-shared 7³ window trace: one gather row per spp-tile per step
         "window+tile": TraceParams(tile=spp),
+        # the grad-mode warp trace (jets + accumulators), per-lane vs tiled
+        "warp": ("warp", TraceParams()),
+        "warp+tile": ("warp", TraceParams(tile=spp)),
     }
     times = {}
     for name, params in variants.items():
+        if isinstance(params, tuple):
+            from differentiable_sdf_rendering_tpu.ops.trace import sphere_trace_warp
+
+            p = params[1]
+            dt = timed(jax.jit(lambda o, d, p=p: sphere_trace_warp(sdf, o, d, p).warp_t))
+            times[name] = round(dt * 1e3, 2)
+            continue
         if name == "pertap+compact":
             # defeat the stencil: mark the grid as too large for the table
             from differentiable_sdf_rendering_tpu.ops import grid as gridops

@@ -176,6 +176,52 @@ def window_eval_value(rows: jnp.ndarray, o: jnp.ndarray, f: jnp.ndarray) -> jnp.
     return jnp.einsum("...z,...z->...", t, wz, precision=_HI)
 
 
+def window_eval_all(rows: jnp.ndarray, o: jnp.ndarray, f: jnp.ndarray, res):
+    """Full jet (value, grad, hessian) from a shared 7³ window row —
+    :func:`grid_eval_all` with the window's shifted 7-wide weights.
+
+    ``res``: (3,) grid resolution (x, y, z) for the normalized-coordinate
+    chain factors.  Tap values are bit-identical to the stencil path.
+    """
+    taps = rows.reshape(rows.shape[:-1] + (7, 7, 7))
+    wx4, dwx4, ddwx4 = bspline_weights(f[..., 0])
+    wy4, dwy4, ddwy4 = bspline_weights(f[..., 1])
+    wz4, dwz4, ddwz4 = bspline_weights(f[..., 2])
+    Wx = jnp.stack(
+        [_shift7(wx4, o[..., 0]), _shift7(dwx4, o[..., 0]), _shift7(ddwx4, o[..., 0])],
+        axis=-1,
+    )  # (..., 7, 3)
+    Wy = jnp.stack(
+        [_shift7(wy4, o[..., 1]), _shift7(dwy4, o[..., 1]), _shift7(ddwy4, o[..., 1])],
+        axis=-1,
+    )
+    Wz = jnp.stack(
+        [_shift7(wz4, o[..., 2]), _shift7(dwz4, o[..., 2]), _shift7(ddwz4, o[..., 2])],
+        axis=-1,
+    )
+    t = jnp.einsum("...zyx,...xi->...zyi", taps, Wx, precision=_HI)
+    t = jnp.einsum("...zyi,...yj->...zij", t, Wy, precision=_HI)
+    out = jnp.einsum("...zij,...zk->...kji", t, Wz, precision=_HI)
+
+    rx, ry, rz = res[0], res[1], res[2]
+    value = out[..., 0, 0, 0]
+    grad = jnp.stack(
+        [out[..., 0, 0, 1] * rx, out[..., 0, 1, 0] * ry, out[..., 1, 0, 0] * rz],
+        axis=-1,
+    )
+    hxx = out[..., 0, 0, 2] * (rx * rx)
+    hyy = out[..., 0, 2, 0] * (ry * ry)
+    hzz = out[..., 2, 0, 0] * (rz * rz)
+    hxy = out[..., 0, 1, 1] * (rx * ry)
+    hxz = out[..., 1, 0, 1] * (rx * rz)
+    hyz = out[..., 1, 1, 0] * (ry * rz)
+    row_x = jnp.stack([hxx, hxy, hxz], axis=-1)
+    row_y = jnp.stack([hxy, hyy, hyz], axis=-1)
+    row_z = jnp.stack([hxz, hyz, hzz], axis=-1)
+    hess = jnp.stack([row_x, row_y, row_z], axis=-2)
+    return value, grad, hess
+
+
 def bspline_weights(f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Uniform cubic B-spline basis and its first two derivatives.
 

@@ -89,6 +89,52 @@ def test_tile_trace_respects_maxt_and_active():
     assert agree > 0.99
 
 
+def test_warp_tile_trace_is_estimator_exact():
+    """The tiled warp trace keeps FREE per-lane stepping (lanes that leave
+    the shared window escalate to a per-lane retrace), so every consumed
+    accumulator must match the per-lane path almost exactly — unlike the
+    non-diff tile trace, no trajectory change is allowed here (quadrature
+    node placement shifts weight_sum and with it the estimator)."""
+    from differentiable_sdf_rendering_tpu.ops.trace import sphere_trace_warp
+
+    sdf, o, d, spp = _rays(res=32, spp=8)
+    r0 = sphere_trace_warp(sdf, o, d, TraceParams())
+    r1 = sphere_trace_warp(sdf, o, d, TraceParams(tile=spp))
+    for name, tol in [
+        ("its_t", 1e-5), ("warp_t", 1e-4), ("warp_weight", 1e-3),
+        ("warp_t_d", 0.05), ("warp_weight_d", 0.05),
+    ]:
+        a, b = np.asarray(getattr(r0, name)), np.asarray(getattr(r1, name))
+        fa, fb = np.isfinite(a), np.isfinite(b)
+        assert (fa == fb).all(), name
+        diff = np.abs(np.where(fa, a, 0.0) - np.where(fb, b, 0.0))
+        assert diff.max() < tol, (name, float(diff.max()))
+
+
+def test_warp_tile_gradients_match():
+    """End-to-end AD gradient with tile_primary on vs off (same seeds):
+    the tile path must not change the estimator."""
+    import dataclasses
+
+    from differentiable_sdf_rendering_tpu.models.integrator import RenderConfig, render
+    from differentiable_sdf_rendering_tpu.models.scene import Scene
+
+    scene = Scene.create(
+        target_sdf("bunny", 32), cameras=regular_cameras(1, resx=32, resy=32)
+    )
+    ramp = jnp.linspace(0.0, 1.0, 32)[None, :, None]
+
+    def loss(shift, tile):
+        sc = scene.replace(sdf=scene.sdf.replace(p=jnp.asarray([shift, 0.0, 0.0])))
+        img = render(sc, 0, seed=2, cfg=RenderConfig(spp=4, tile_primary=tile),
+                     mode="grad")
+        return jnp.sum(img[..., :3] * ramp)
+
+    g0 = float(jax.grad(loss)(0.0, 0))
+    g1 = float(jax.grad(loss)(0.0, 4))
+    assert abs(g1 - g0) <= 1e-3 * max(abs(g0), 1e-6), (g0, g1)
+
+
 def test_tile_trace_falls_back_for_analytic_sdf():
     """Non-grid SDFs have no window table: tile param must be a no-op."""
     sph = SphereSDF.create()
