@@ -27,9 +27,10 @@ t0=time.perf_counter(); print('devices', jax.devices())
 t0=time.perf_counter(); float(jnp.sum(jnp.ones((8,8)))); print('rtt_ms', round((time.perf_counter()-t0)*1e3,1))"
 grep -q rtt_ms "$OUT/probe.log" || { echo "DEVICE DEAD — aborting session"; exit 1; }
 
-step trace_vars   900 env BENCH_TRACE=1 python bench.py
-step decomp      1500 python scripts/profile_decomp.py
+step trace_vars  1500 env BENCH_TRACE=1 python bench.py
 step bench_med   1500 env BENCH_CHILD=1 BENCH_SCALE=medium python bench.py
+step bench_tile  1500 env BENCH_CHILD=1 BENCH_SCALE=medium BENCH_TILE=1 python bench.py
+step decomp      1500 python scripts/profile_decomp.py
 step gather_full 1500 python scripts/gather_probe.py
 
 if [ "${DEVICE_FULL:-0}" = "1" ]; then
