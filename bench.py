@@ -71,6 +71,14 @@ def main():
     # Tiles subdivide a pixel's lane run, so any divisor of primal_spp that
     # also divides the slice offset works; 64 keeps every scale aligned.
     tile = min(primal_spp, 64) if os.environ.get("BENCH_TILE", "0") == "1" else 0
+    # Build the gather tables once, outside jit, and ship them as argument
+    # buffers — otherwise every slice dispatch rebuilds them in-program
+    # (and a constant-captured grid would constant-fold the build into
+    # 128×-padded literals: 50 GB compile OOM, device_r2b session).
+    sdf_prep = scene.sdf.prepare()
+    if tile:
+        sdf_prep = sdf_prep.prepare_window()
+    scene = scene.replace(sdf=sdf_prep)
     cfg_p = RenderConfig(integrator="sdf_direct_reparam", spp=primal_spp,
                          tile_primary=tile)
     cfg_g = RenderConfig(integrator="sdf_direct_reparam", spp=adjoint_spp)
@@ -97,7 +105,9 @@ def main():
         lane = off + jnp.arange(sz_a, dtype=jnp.uint32)
 
         def rf(data):
-            sc = scene.replace(sdf=scene.sdf.replace(data=data))
+            # with_data (NOT replace(data=...)): re-derives the gather
+            # tables from the traced data so the VJP flows through them
+            sc = scene.replace(sdf=scene.sdf.with_data(data))
             return render_lane_block(sc, cam, lane, 1, cfg_g, "grad")
 
         _, vjp = jax.vjp(rf, scene.sdf.data)
@@ -206,7 +216,14 @@ def trace_variants():
     res, spp, grid_res = {
         "small": (64, 8, 32), "medium": (128, 16, 64), "full": (256, 32, 128),
     }[os.environ.get("BENCH_SCALE", "medium")]
-    sdf = GridSDF.create(target_sdf("bunny", grid_res))
+    # Prepare the gather tables EAGERLY and pass the SDF as a jit ARGUMENT:
+    # a closure-captured constant grid lets XLA constant-fold the in-jit
+    # table build into hundreds of 128×-padded literals (50 GB compile OOM,
+    # device_r2b session), and an in-jit rebuild would bill table
+    # construction to every variant anyway.
+    sdf_bare = GridSDF.create(target_sdf("bunny", grid_res))
+    sdf = sdf_bare.prepare()           # + stencil table (device buffer)
+    sdf_win = sdf.prepare_window()     # + 7³ tile window table
     cam = regular_cameras(1, resx=res, resy=res).view(0)
     n = res * res * spp
     lane = jnp.arange(n, dtype=jnp.uint32)
@@ -223,10 +240,10 @@ def trace_variants():
     # out of the per-trace time — a single timed call would just measure RTT.
     reps = int(os.environ.get("BENCH_TRACE_REPS", "8"))
 
-    def timed(f):
-        sync(f(o, d))  # compile + warm
+    def timed(f, s):
+        sync(f(s, o, d))  # compile + warm
         t0 = time.perf_counter()
-        outs = [f(o, d) for _ in range(reps)]  # enqueue all...
+        outs = [f(s, o, d) for _ in range(reps)]  # enqueue all...
         # ...then ONE fetch of a value depending on every rep (each sync()
         # is a full tunnel round trip, ~30 ms — fetching per rep would
         # re-introduce exactly the latency this amortizes away)
@@ -254,7 +271,8 @@ def trace_variants():
             from differentiable_sdf_rendering_tpu.ops.trace import sphere_trace_warp
 
             p = params[1]
-            dt = timed(jax.jit(lambda o, d, p=p: sphere_trace_warp(sdf, o, d, p).warp_t))
+            s = sdf_win if p.tile > 1 else sdf
+            dt = timed(jax.jit(lambda s, o, d, p=p: sphere_trace_warp(s, o, d, p).warp_t), s)
             times[name] = round(dt * 1e3, 2)
             continue
         if name == "pertap+compact":
@@ -264,13 +282,15 @@ def trace_variants():
             saved = gridops._STENCIL_MAX_VOXELS
             gridops._STENCIL_MAX_VOXELS = 0
             try:
-                dt = timed(jax.jit(lambda o, d: sphere_trace(sdf, o, d, TraceParams())))
+                dt = timed(jax.jit(lambda s, o, d: sphere_trace(s, o, d, TraceParams())),
+                           sdf_bare)
             finally:
                 gridops._STENCIL_MAX_VOXELS = saved
         elif params is None:
             continue
         else:
-            dt = timed(jax.jit(lambda o, d, p=params: sphere_trace(sdf, o, d, p)))
+            s = sdf_win if params.tile > 1 else sdf
+            dt = timed(jax.jit(lambda s, o, d, p=params: sphere_trace(s, o, d, p)), s)
         times[name] = round(dt * 1e3, 2)
     print(json.dumps({
         "metric": "trace-variant device ms (one fwd trace, %dk lanes)" % (n // 1000),

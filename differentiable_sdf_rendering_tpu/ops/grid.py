@@ -72,6 +72,12 @@ def build_stencil(data: jnp.ndarray) -> jnp.ndarray:
     """
     z, y, x = data.shape[-3], data.shape[-2], data.shape[-1]
     padded = jnp.pad(data, ((3, 3), (3, 3), (3, 3)), mode="edge")
+    # When `data` is a compile-time constant (closure capture), XLA's
+    # constant folder materializes each dynamic_slice below as a separate
+    # (dim+3)³ literal with minor-dim padding to the (8,128) tile — 64
+    # copies × 128× padding OOMs the compile (observed: 50 GB "global" at
+    # 64³).  The barrier keeps the slices as runtime ops (one fused build).
+    padded = jax.lax.optimization_barrier(padded)
     cols = []
     for a in range(4):
         for b in range(4):
@@ -112,6 +118,9 @@ def build_window(data: jnp.ndarray) -> jnp.ndarray:
     # high-side pad 6: the last tap's slice starts at offset 7 and spans
     # dim+3 — anything less and dynamic_slice silently clamps the start
     padded = jnp.pad(data, ((4, 6), (4, 6), (4, 6)), mode="edge")
+    # See build_stencil: block constant folding of the 343 slices (each
+    # would become a 128×-padded literal — 50 GB at 64³).
+    padded = jax.lax.optimization_barrier(padded)
     cols = []
     for a in range(7):
         for b in range(7):
