@@ -96,8 +96,12 @@ def main():
         return block + render_lane_block(scene, cam, lane, 0, cfg_p, "primal")
 
     # ---- adjoint: VJP of one gradient-mode slice ----
+    # Same lane width as the primal slices: the VJP wavefront is ~4× the
+    # primal's, but a 279k-lane VJP ran fine in one program at medium
+    # (profile_decomp r2) while 16 tiny programs paid 1.3× in per-dispatch
+    # fixed cost.  BENCH_SLICE still bounds it on fragile chips.
     n_adj = pw * adjoint_spp
-    n_slices_a = max(1, adjoint_spp // max(1, slice_spp // 4))
+    n_slices_a = max(1, adjoint_spp // slice_spp)
     sz_a = n_adj // n_slices_a
 
     @jax.jit
@@ -199,8 +203,11 @@ def trace_variants():
     (VERDICT r1 #3) — stencil-table vs per-tap gather, lane compaction
     on/off, Keinert over-relaxation — on the Fig-9a bunny workload.
     Prints one JSON line with per-variant milliseconds."""
-    import dataclasses
+    if os.environ.get("JAX_PLATFORMS") == "cpu" or os.environ.get("BENCH_LOCAL_CPU") == "1":
+        # sitecustomize pins the axon platform after import; force for real
+        from differentiable_sdf_rendering_tpu.utils.platform import force_cpu
 
+        force_cpu()
     import jax
     import jax.numpy as jnp
 
@@ -250,20 +257,24 @@ def trace_variants():
         sync(sum(jnp.ravel(r)[0] for r in outs))
         return (time.perf_counter() - t0) / reps
 
+    # Round-2 device sweep (262k lanes, 64³) found early compaction is the
+    # big lever: (4,16,128) = 62.6 ms vs default (8,64) = 338 ms per fwd
+    # trace; window+tile 64.7 ms; warp 462 ms on the old schedule.  This
+    # sweep combines the winning schedule with tile/unroll on both traces.
+    C4 = (4, 16, 128)
     variants = {
-        "stencil+compact": TraceParams(),
-        "stencil_nocompact": TraceParams(compact_stages=()),
-        "pertap+compact": None,  # stencil suppressed via bare (unprepared large) path
-        "stencil+overrelax": TraceParams(over_relax=1.4),
-        # compaction-schedule sweep: earlier/steeper stages trade extra
-        # gather/scatter bookkeeping for fewer full-width loop iterations
-        "stencil+compact2": TraceParams(compact_stages=(2, 8, 64)),
-        "stencil+compact4": TraceParams(compact_stages=(4, 16, 128)),
-        # tile-shared 7³ window trace: one gather row per spp-tile per step
-        "window+tile": TraceParams(tile=spp),
-        # the grad-mode warp trace (jets + accumulators), per-lane vs tiled
-        "warp": ("warp", TraceParams()),
-        "warp+tile": ("warp", TraceParams(tile=spp)),
+        "stencil+compact4": TraceParams(compact_stages=C4),
+        "stencil+compact8": TraceParams(compact_stages=(8, 64)),
+        "stencil+c4+unroll2": TraceParams(compact_stages=C4, unroll=2),
+        "stencil+c4+unroll4": TraceParams(compact_stages=C4, unroll=4),
+        "stencil+c2": TraceParams(compact_stages=(2, 4, 16, 128)),
+        "window+tile+c4": TraceParams(tile=spp, compact_stages=C4),
+        "pertap+c4": None,  # stencil suppressed via bare (unprepared) path
+        "overrelax+c4": TraceParams(over_relax=1.4, compact_stages=C4),
+        # the grad-mode warp trace (jets + accumulators, the adjoint driver)
+        "warp+c4": ("warp", TraceParams(compact_stages=C4)),
+        "warp+c4+unroll2": ("warp", TraceParams(compact_stages=C4, unroll=2)),
+        "warp+tile+c4": ("warp", TraceParams(tile=spp, compact_stages=C4)),
     }
     times = {}
     for name, params in variants.items():
@@ -275,15 +286,15 @@ def trace_variants():
             dt = timed(jax.jit(lambda s, o, d, p=p: sphere_trace_warp(s, o, d, p).warp_t), s)
             times[name] = round(dt * 1e3, 2)
             continue
-        if name == "pertap+compact":
+        if name == "pertap+c4":
             # defeat the stencil: mark the grid as too large for the table
             from differentiable_sdf_rendering_tpu.ops import grid as gridops
 
             saved = gridops._STENCIL_MAX_VOXELS
             gridops._STENCIL_MAX_VOXELS = 0
             try:
-                dt = timed(jax.jit(lambda s, o, d: sphere_trace(s, o, d, TraceParams())),
-                           sdf_bare)
+                dt = timed(jax.jit(lambda s, o, d: sphere_trace(
+                    s, o, d, TraceParams(compact_stages=(4, 16, 128)))), sdf_bare)
             finally:
                 gridops._STENCIL_MAX_VOXELS = saved
         elif params is None:
@@ -294,7 +305,7 @@ def trace_variants():
         times[name] = round(dt * 1e3, 2)
     print(json.dumps({
         "metric": "trace-variant device ms (one fwd trace, %dk lanes)" % (n // 1000),
-        "value": times.get("stencil+compact", 0.0),
+        "value": times.get("stencil+compact4", 0.0),
         "unit": "ms",
         "vs_baseline": 0.0,
         "detail": {"n_lanes": n, "grid": grid_res, "times_ms": times,

@@ -55,6 +55,14 @@ class TraceParams:
     # Trip-count skew makes the lockstep wavefront pay the worst lane's
     # steps for the whole batch; compaction bounds that cost.  () = off.
     compact_stages: tuple = (8, 64)
+    # Masked trace-body evaluations per while_loop iteration (ops/trace
+    # ._staged_while): >1 amortizes the TPU loop's fixed per-iteration cost
+    # at ≤(unroll−1) wasted tail evals per lane.  its_t/warp_t/weight_sum
+    # are bit-identical at any setting (all body updates are active-masked);
+    # the warp derivative accumulators match only to FMA-reassociation
+    # level (~3e-5 rel), which the warp_t_d cancellation can amplify to
+    # ~1% on near-surface lanes — far inside the estimator's FD tolerance.
+    unroll: int = 1
     # Tile-shared window tracing (ops/trace._tile_trace): trace in lockstep
     # tiles of `tile` consecutive lanes (the spp samples of one pixel),
     # fetching ONE shared 7³ grid window per tile per step instead of one

@@ -75,7 +75,7 @@ class TraceResult:
         return jnp.isfinite(self.its_t)
 
 
-def _staged_while(body, state, consts, stages=(8, 64)):
+def _staged_while(body, state, consts, stages=(8, 64), unroll=1):
     """``while_loop(any(active), body)`` with active-lane compaction.
 
     Sphere-trace trip counts are extremely skewed (measured on bunny 64³:
@@ -99,7 +99,18 @@ def _staged_while(body, state, consts, stages=(8, 64)):
             alive = jnp.sum(s["active"], axis=-1)
             return jnp.any(alive > stop_count)
 
-        return jax.lax.while_loop(cond, lambda s: body(s, consts), state)
+        def body_u(s):
+            # ``unroll`` masked body evaluations per while iteration: every
+            # update in the trace bodies is gated on the lane's ``active``
+            # bit, so extra in-group evaluations are value-neutral — they
+            # trade ≤(unroll−1) wasted tail evals per lane for unroll× fewer
+            # loop iterations (each iteration carries fixed scalar-core/sync
+            # cost on TPU — measured ~ms-scale at wavefront widths).
+            for _ in range(unroll):
+                s = body(s, consts)
+            return s
+
+        return jax.lax.while_loop(cond, body_u, state)
 
     def take(a, idx):
         fill = False if a.dtype == jnp.bool_ else 0
@@ -120,6 +131,7 @@ def _staged_while(body, state, consts, stages=(8, 64)):
         sub_state = _staged_while(
             body, sub_state, sub_consts,
             stages=tuple(r // ratio for r in stages if r > ratio),
+            unroll=unroll,
         )
         state = jax.tree_util.tree_map(
             lambda full, sub: full.at[idx].set(sub, mode="drop"), state, sub_state
@@ -360,7 +372,8 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
         state["prev_radius"] = jnp.zeros_like(t0)
         state["step_len"] = jnp.zeros_like(t0)
     consts = {"o": o, "d": d, "maxt": maxt, "trace_eps": trace_eps}
-    its_t = _staged_while(body, state, consts, params.compact_stages)["its_t"]
+    its_t = _staged_while(body, state, consts, params.compact_stages,
+                          unroll=params.unroll)["its_t"]
     if tile_its_t is not None:
         its_t = jnp.where(esc, its_t, tile_its_t)
 
@@ -647,7 +660,8 @@ def sphere_trace_warp(
         s = {k: v.reshape((n_lanes,) + v.shape[2:]) for k, v in s.items()}
         esc = s["esc"]
     else:
-        s = _staged_while(body, state, consts, params.compact_stages)
+        s = _staged_while(body, state, consts, params.compact_stages,
+                          unroll=params.unroll)
         esc = None
 
     its_t = s["its_t"]
