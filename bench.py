@@ -67,21 +67,25 @@ def main():
     sdf_data = target_sdf("bunny", grid_res)
     cam = regular_cameras(1, resx=res, resy=res).view(0)
     scene = Scene.create(sdf_data, cameras=regular_cameras(1, resx=res, resy=res))
-    # BENCH_TILE=1: tile-shared window tracing on primary rays (device A/B).
-    # Tiles subdivide a pixel's lane run, so any divisor of primal_spp that
-    # also divides the slice offset works; 64 keeps every scale aligned.
-    tile = min(primal_spp, 64) if os.environ.get("BENCH_TILE", "0") == "1" else 0
+    # Tile-shared window tracing on primary rays (BENCH_TILE=1 for A/B).
+    # Isolated traces: plain 44 ms vs 62 untiled, warp 297 vs 346 at 262k
+    # lanes — but in the full pipeline the A/B is a wash at 70k-lane slices
+    # (797k vs 820k rays/s, r2), so tiles stay opt-in here.
+    tile_on = os.environ.get("BENCH_TILE", "0") == "1"
+    tile = min(primal_spp, 64) if tile_on else 0
+    tile_g = min(adjoint_spp, 64) if tile_on else 0
     # Build the gather tables once, outside jit, and ship them as argument
     # buffers — otherwise every slice dispatch rebuilds them in-program
     # (and a constant-captured grid would constant-fold the build into
     # 128×-padded literals: 50 GB compile OOM, device_r2b session).
     sdf_prep = scene.sdf.prepare()
-    if tile:
+    if tile_on:
         sdf_prep = sdf_prep.prepare_window()
     scene = scene.replace(sdf=sdf_prep)
     cfg_p = RenderConfig(integrator="sdf_direct_reparam", spp=primal_spp,
                          tile_primary=tile)
-    cfg_g = RenderConfig(integrator="sdf_direct_reparam", spp=adjoint_spp)
+    cfg_g = RenderConfig(integrator="sdf_direct_reparam", spp=adjoint_spp,
+                         tile_primary=tile_g)
     b = BORDER
     pw = (res + 2 * b) * (res + 2 * b)
 
@@ -263,18 +267,27 @@ def trace_variants():
     # sweep combines the winning schedule with tile/unroll on both traces.
     C4 = (4, 16, 128)
     variants = {
+        # throwaway: absorbs the first-timed-variant artifact (~280 ms —
+        # the async eager table build + tunnel settling flush into the
+        # first timed fetch; observed twice in r2 device sweeps)
+        "_warmup": TraceParams(),
         "stencil+compact4": TraceParams(compact_stages=C4),
         "stencil+compact8": TraceParams(compact_stages=(8, 64)),
         "stencil+c4+unroll2": TraceParams(compact_stages=C4, unroll=2),
-        "stencil+c4+unroll4": TraceParams(compact_stages=C4, unroll=4),
-        "stencil+c2": TraceParams(compact_stages=(2, 4, 16, 128)),
+        # tile variants: `tile` = consecutive lanes sharing one 7³ window
+        # row/step.  spp = one pixel's samples; 2·spp/4·spp = 2/4 adjacent
+        # same-row pixels (~0.5 voxel apart at 128² on 64³ — inside the
+        # window's 3-voxel slack; divergent lanes escalate per-lane).
         "window+tile+c4": TraceParams(tile=spp, compact_stages=C4),
+        "window+tile2px": TraceParams(tile=2 * spp, compact_stages=C4),
+        "window+tile4px": TraceParams(tile=4 * spp, compact_stages=C4),
         "pertap+c4": None,  # stencil suppressed via bare (unprepared) path
         "overrelax+c4": TraceParams(over_relax=1.4, compact_stages=C4),
         # the grad-mode warp trace (jets + accumulators, the adjoint driver)
         "warp+c4": ("warp", TraceParams(compact_stages=C4)),
-        "warp+c4+unroll2": ("warp", TraceParams(compact_stages=C4, unroll=2)),
         "warp+tile+c4": ("warp", TraceParams(tile=spp, compact_stages=C4)),
+        "warp+tile2px": ("warp", TraceParams(tile=2 * spp, compact_stages=C4)),
+        "warp+tile4px": ("warp", TraceParams(tile=4 * spp, compact_stages=C4)),
     }
     times = {}
     for name, params in variants.items():
@@ -302,6 +315,8 @@ def trace_variants():
         else:
             s = sdf_win if params.tile > 1 else sdf
             dt = timed(jax.jit(lambda s, o, d, p=params: sphere_trace(s, o, d, p)), s)
+        if name == "_warmup":
+            continue
         times[name] = round(dt * 1e3, 2)
     print(json.dumps({
         "metric": "trace-variant device ms (one fwd trace, %dk lanes)" % (n // 1000),

@@ -97,9 +97,15 @@ def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None, m
     if occlusion and cfg.trace.refine_intersection:
         cfg = dataclasses.replace(cfg, trace=dataclasses.replace(cfg.trace, refine_intersection=False))
     if cfg.tile_primary > 1 and depth == 0 and cfg.trace.tile == 0:
-        # primary rays are pixel-tile-coherent; deeper bounces/shadow rays
-        # are not (they would pay the window attempt then escalate)
-        cfg = dataclasses.replace(cfg, trace=dataclasses.replace(cfg.trace, tile=cfg.tile_primary))
+        # Primary rays are pixel-tile-coherent; deeper bounces/shadow rays
+        # are not (they would pay the window attempt then escalate).
+        # Mode split (r2 device sweep, 262k lanes): the NON-DIFF trace's
+        # lockstep-min stepping keeps 4-adjacent-pixel tiles coherent
+        # (44 ms vs 60 for 1-pixel tiles), while the warp trace steps
+        # per-lane and diverges across pixels (297 ms at 1 px vs 403 at
+        # 4 px) — so plain traces get 4× wider tiles than warp traces.
+        tile = cfg.tile_primary if mode != "primal" and cfg.use_warp else 4 * cfg.tile_primary
+        cfg = dataclasses.replace(cfg, trace=dataclasses.replace(cfg.trace, tile=tile))
     reparam = mode != "primal" and cfg.use_warp and cfg.warp_kind != "dummy"
     if reparam and cfg.warp.max_reparam_depth >= 0 and depth > cfg.warp.max_reparam_depth:
         reparam = False

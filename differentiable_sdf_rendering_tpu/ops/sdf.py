@@ -54,7 +54,10 @@ class TraceParams:
     # gather the stragglers into an N/8 buffer, continue, then N/64.
     # Trip-count skew makes the lockstep wavefront pay the worst lane's
     # steps for the whole batch; compaction bounds that cost.  () = off.
-    compact_stages: tuple = (8, 64)
+    # (4,16,128) measured fastest on v5e at 262k lanes (62.5 ms vs 73.6 for
+    # (8,64) per fwd trace, r2 device sweep) — earlier stages retire the
+    # straggler tail before it taxes full-width iterations.
+    compact_stages: tuple = (4, 16, 128)
     # Masked trace-body evaluations per while_loop iteration (ops/trace
     # ._staged_while): >1 amortizes the TPU loop's fixed per-iteration cost
     # at ≤(unroll−1) wasted tail evals per lane.  its_t/warp_t/weight_sum

@@ -438,6 +438,19 @@ def optimize_shape(
 
     from ..ops.warp_conv import ConvWarpConfig
 
+    # Tile-shared window tracing on depth-0 traces.  Isolated-trace device
+    # numbers favor tiles (plain 44 ms vs 62, warp 297 vs 346 at 262k
+    # lanes) but the full-pipeline A/B at production slice widths was a
+    # wash (797k vs 820k rays/s, r2) — so tiles are opt-in via
+    # DSDF_TILE_PRIMARY=1 until a pipeline-level win is demonstrated.
+    # TPU only; self-gating: grids > 64³ have no window table
+    # (ops/grid.window_ok) and non-pixel-major wavefronts fall back.
+    _on_tpu = jax.devices()[0].platform == "tpu"
+    _tiles_on = _on_tpu and os.environ.get("DSDF_TILE_PRIMARY", "0") == "1"
+
+    def _tile(spp):
+        return min(spp, 64) if _tiles_on else 0
+
     cfg_grad = RenderConfig(
         integrator=method_cfg.integrator,
         spp=method_cfg.spp,
@@ -450,8 +463,13 @@ def optimize_shape(
             kappa=method_cfg.conv_kappa,
             power=method_cfg.conv_power,
         ),
+        tile_primary=_tile(method_cfg.spp),
     )
-    cfg_primal = dataclasses.replace(cfg_grad, spp=method_cfg.spp * method_cfg.primal_spp_mult)
+    cfg_primal = dataclasses.replace(
+        cfg_grad,
+        spp=method_cfg.spp * method_cfg.primal_spp_mult,
+        tile_primary=_tile(method_cfg.spp * method_cfg.primal_spp_mult),
+    )
 
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)

@@ -27,14 +27,16 @@ t0=time.perf_counter(); print('devices', jax.devices())
 t0=time.perf_counter(); float(jnp.sum(jnp.ones((8,8)))); print('rtt_ms', round((time.perf_counter()-t0)*1e3,1))"
 grep -q rtt_ms "$OUT/probe.log" || { echo "DEVICE DEAD — aborting session"; exit 1; }
 
-step trace_vars  1500 env BENCH_TRACE=1 python bench.py
-step bench_med   1500 env BENCH_CHILD=1 BENCH_SCALE=medium python bench.py
-step bench_tile  1500 env BENCH_CHILD=1 BENCH_SCALE=medium BENCH_TILE=1 python bench.py
-step decomp      1500 python scripts/profile_decomp.py
-step gather_full 1500 python scripts/gather_probe.py
+step trace_vars   2400 env BENCH_TRACE=1 python bench.py
+step bench_med    2400 env BENCH_CHILD=1 BENCH_SCALE=medium python bench.py
+step bench_notile 2400 env BENCH_CHILD=1 BENCH_SCALE=medium BENCH_TILE=0 python bench.py
+step decomp       1500 python scripts/profile_decomp.py
+step gather_full  1500 python scripts/gather_probe.py
 
 if [ "${DEVICE_FULL:-0}" = "1" ]; then
-  # Cautious first full-Fig9a attempt: 1 run, small slices.
-  step bench_full 2400 env BENCH_CHILD=1 BENCH_SCALE=full BENCH_RUNS=1 BENCH_SLICE=4 python bench.py
+  # Cautious full-Fig9a attempt: 1 run, 1-spp slices (67.6k lanes — the
+  # same width class as the medium slices that run fine; the 270k-lane
+  # slices of the r1 attempt are what killed the worker).
+  step bench_full 3600 env BENCH_CHILD=1 BENCH_SCALE=full BENCH_RUNS=1 BENCH_SLICE=1 python bench.py
 fi
 echo "session done -> $OUT"
