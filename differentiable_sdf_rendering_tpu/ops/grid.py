@@ -86,8 +86,13 @@ def build_stencil(data: jnp.ndarray) -> jnp.ndarray:
                 #                         = padded[i + a, j + b, k + c]
                 cols.append(
                     jax.lax.dynamic_slice(padded, (a, b, c), (z + 3, y + 3, x + 3))
+                    .reshape(-1)
                 )
-    return jnp.stack(cols, axis=-1).reshape((z + 3) * (y + 3) * (x + 3), 64)
+    # Stack on a LEADING axis then transpose: stack(axis=-1) lowers to a
+    # concatenate of (N, 1) operands, each padded 128× by the TPU (8,128)
+    # tile — 64 × 1.07 GB of HLO temps at 128³ (observed compile OOM,
+    # bench_full r2).  (64, N) operands tile benignly.
+    return jnp.stack(cols, axis=0).T
 
 
 # Tile-shared 7³ window tables (ops/trace tile trace): 343 floats/row is a
@@ -130,9 +135,11 @@ def build_window(data: jnp.ndarray) -> jnp.ndarray:
                 cols.append(
                     jax.lax.dynamic_slice(
                         padded, (a + 1, b + 1, c + 1), (z + 3, y + 3, x + 3)
-                    )
+                    ).reshape(-1)
                 )
-    return jnp.stack(cols, axis=-1).reshape((z + 3) * (y + 3) * (x + 3), 343)
+    # Leading-axis stack + transpose — see build_stencil (the axis=-1 form
+    # concatenates (N, 1) operands padded 128× by the TPU tile).
+    return jnp.stack(cols, axis=0).T
 
 
 def window_base_setup(data: jnp.ndarray, p: jnp.ndarray):

@@ -49,6 +49,10 @@ def main():
     cams = regular_cameras(1, resx=res, resy=res)
     cam = cams.view(0)
     scene = Scene.create(sdf_data, cameras=cams)
+    # Eager gather tables as argument buffers (mirrors bench.py; an
+    # unprepared scene bills a per-dispatch in-jit table rebuild and —
+    # for the jet rows below — silently measures the 64-row per-tap path)
+    scene = scene.replace(sdf=scene.sdf.prepare())
     b = BORDER
     pw = (res + 2 * b) * (res + 2 * b)
 
@@ -102,7 +106,9 @@ def main():
             lane = off + jnp.arange(n_a, dtype=jnp.uint32)
 
             def rf(data):
-                sc = scene.replace(sdf=scene.sdf.replace(data=data))
+                # with_data re-derives the tables from the traced data so
+                # the VJP flows through them (never .replace on prepared)
+                sc = scene.replace(sdf=scene.sdf.with_data(data))
                 return render_lane_block(sc, cam, lane, 1, cfg_g, "grad")
 
             _, vjp = jax.vjp(rf, scene.sdf.data)
@@ -137,6 +143,40 @@ def main():
 
         record(f"grid jet fwd    (n={n_q//1000}k)", timed(jet_fwd, gsdf.data, x), n_q)
         record(f"grid jet VJP    (n={n_q//1000}k)", timed(jet_vjp, gsdf.data, x), n_q)
+
+    # --- the grad-mode forward's two big pieces in isolation ---
+    from differentiable_sdf_rendering_tpu.ops.sdf import TraceParams
+    from differentiable_sdf_rendering_tpu.ops.trace import sphere_trace_warp
+    from differentiable_sdf_rendering_tpu.ops.warp import WarpConfig, reparameterize
+
+    n_w = pw * 4
+    lane = jnp.arange(n_w, dtype=jnp.uint32)
+    pix = lane // 4
+    w = res + 2 * b
+    pos = jnp.stack([(pix % w).astype(jnp.float32) + 0.5,
+                     (pix // w).astype(jnp.float32) + 0.5], -1)
+    o, d = cam.sample_ray(pos)
+
+    @jax.jit
+    def wtrace(s, o, d):
+        return sphere_trace_warp(s, o, d, TraceParams()).warp_t
+
+    @jax.jit
+    def reparam_fwd(s, o, d):
+        return reparameterize(s, o, d, WarpConfig(), TraceParams())[1]
+
+    @jax.jit
+    def reparam_vjp(data, o, d):
+        def f(dd):
+            s = scene.sdf.with_data(dd)
+            _, d1, det = reparameterize(s, o, d, WarpConfig(), TraceParams())
+            return jnp.sum(d1) + jnp.sum(det)
+
+        return jax.grad(f)(data)
+
+    record(f"warp trace fwd  (n={n_w//1000}k)", timed(wtrace, scene.sdf, o, d), n_w)
+    record(f"reparam fwd     (n={n_w//1000}k)", timed(reparam_fwd, scene.sdf, o, d), n_w)
+    record(f"reparam VJP     (n={n_w//1000}k)", timed(reparam_vjp, scene.sdf.data, o, d), n_w)
 
     print(json.dumps(out))
 
