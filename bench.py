@@ -113,9 +113,21 @@ def main():
         lane = off + jnp.arange(sz_a, dtype=jnp.uint32)
 
         def rf(data):
-            # with_data (NOT replace(data=...)): re-derives the gather
-            # tables from the traced data so the VJP flows through them
-            sc = scene.replace(sdf=scene.sdf.with_data(data))
+            # Attach the PREBUILT tables to the traced data instead of
+            # rebuilding in-jit: the in-jit build acquires 128×-padded
+            # (N,1) operand layouts (69.7 GB of HLO temps at 128³ —
+            # bench_full3 compile OOM); attach_stencil routes d/dtable
+            # into d/ddata through a hand-written layout-friendly
+            # transpose.  Valid because data IS scene.sdf.data here.
+            from differentiable_sdf_rendering_tpu.ops import grid as gridops
+
+            st = scene.sdf.stencil
+            sdf2 = scene.sdf.replace(
+                data=data,
+                stencil=None if st is None else gridops.attach_stencil(data, st),
+                window=scene.sdf.window,  # detached-only consumer
+            )
+            sc = scene.replace(sdf=sdf2)
             return render_lane_block(sc, cam, lane, 1, cfg_g, "grad")
 
         _, vjp = jax.vjp(rf, scene.sdf.data)

@@ -30,6 +30,7 @@ _HI = jax.lax.Precision.HIGHEST
 
 __all__ = [
     "bspline_weights",
+    "attach_stencil",
     "build_stencil",
     "build_window",
     "grid_eval",
@@ -55,6 +56,7 @@ def stencil_ok(data) -> bool:
     return (z + 3) * (y + 3) * (x + 3) <= _STENCIL_MAX_VOXELS
 
 
+@jax.custom_vjp
 def build_stencil(data: jnp.ndarray) -> jnp.ndarray:
     """Stencil table: every 4×4×4 interpolation window as ONE contiguous
     64-float row.
@@ -69,7 +71,17 @@ def build_stencil(data: jnp.ndarray) -> jnp.ndarray:
     range reproduces Mitsuba per-tap clamp semantics exactly for arbitrary
     query positions.  Rebuilt per trace call (cheap: 3 ms at 64³) and CSE'd
     by XLA across the traces of one program.
+
+    custom_vjp: letting JAX linearize the slice/stack construction
+    materializes per-slice (N, 1) tangent temps, each padded 128× by the
+    TPU (8,128) tile — 64 × 1.07 GB at 128³ (observed compile OOM,
+    bench_full r2).  The hand transpose is 64 shifted block-adds plus an
+    edge-pad fold — layout-friendly 3-D ops throughout.
     """
+    return _build_stencil_fwd_impl(data)
+
+
+def _build_stencil_fwd_impl(data):
     z, y, x = data.shape[-3], data.shape[-2], data.shape[-1]
     padded = jnp.pad(data, ((3, 3), (3, 3), (3, 3)), mode="edge")
     # When `data` is a compile-time constant (closure capture), XLA's
@@ -88,11 +100,83 @@ def build_stencil(data: jnp.ndarray) -> jnp.ndarray:
                     jax.lax.dynamic_slice(padded, (a, b, c), (z + 3, y + 3, x + 3))
                     .reshape(-1)
                 )
-    # Stack on a LEADING axis then transpose: stack(axis=-1) lowers to a
-    # concatenate of (N, 1) operands, each padded 128× by the TPU (8,128)
-    # tile — 64 × 1.07 GB of HLO temps at 128³ (observed compile OOM,
-    # bench_full r2).  (64, N) operands tile benignly.
-    return jnp.stack(cols, axis=0).T
+    # Stack on a LEADING axis then transpose behind a barrier: the
+    # axis=-1 form concatenates (N, 1) operands padded 128× by the TPU
+    # tile, and without the barrier XLA's transpose-folding rewrites the
+    # (64, N) form back into exactly that.
+    table = jax.lax.optimization_barrier(jnp.stack(cols, axis=0))
+    return table.T
+
+
+def _fold_edge_pad(g, lo, hi, axis):
+    """Transpose of one axis of ``jnp.pad(..., mode='edge')``: fold the
+    ``lo``/``hi`` pad layers of cotangent ``g`` into the clamped core
+    cells they were copied from."""
+    n = g.shape[axis]
+    core = jax.lax.slice_in_dim(g, lo, n - hi, axis=axis)
+    head = jnp.sum(jax.lax.slice_in_dim(g, 0, lo, axis=axis), axis=axis, keepdims=True)
+    tail = jnp.sum(jax.lax.slice_in_dim(g, n - hi, n, axis=axis), axis=axis, keepdims=True)
+    first = [slice(None)] * g.ndim
+    first[axis] = slice(0, 1)
+    last = [slice(None)] * g.ndim
+    last[axis] = slice(core.shape[axis] - 1, core.shape[axis])
+    core = core.at[tuple(first)].add(head)
+    core = core.at[tuple(last)].add(tail)
+    return core
+
+
+def _build_stencil_fwd(data):
+    return _build_stencil_fwd_impl(data), data.shape
+
+
+def _build_stencil_bwd(shape, dtable):
+    z, y, x = shape[-3], shape[-2], shape[-1]
+    dt = dtable.reshape(z + 3, y + 3, x + 3, 64)
+    dpadded = jnp.zeros((z + 6, y + 6, x + 6), dtable.dtype)
+    for a in range(4):
+        for b in range(4):
+            for c in range(4):
+                k = (a * 4 + b) * 4 + c
+                dpadded = jax.lax.dynamic_update_slice(
+                    dpadded,
+                    jax.lax.dynamic_slice(
+                        dpadded, (a, b, c), (z + 3, y + 3, x + 3)
+                    ) + dt[..., k],
+                    (a, b, c),
+                )
+    for axis in (0, 1, 2):
+        dpadded = _fold_edge_pad(dpadded, 3, 3, axis)
+    return (dpadded,)
+
+
+build_stencil.defvjp(_build_stencil_fwd, _build_stencil_bwd)
+
+
+@jax.custom_vjp
+def attach_stencil(data: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """Differentiably attach a PREBUILT stencil table to ``data``.
+
+    Returns ``table`` (values must equal ``build_stencil(data)`` — the
+    caller's contract), with the VJP routing d/dtable into d/ddata via the
+    hand-written transpose.  Lets a caller that already holds the table as
+    a device buffer (eager prepare) skip the in-jit rebuild entirely: at
+    128³ even the *forward* slice/stack construction acquires (N, 1)
+    operand layouts under XLA remat, each padded 128× by the TPU (8,128)
+    tile — 64 × 1.07 GB of HLO temps (observed compile OOM, bench_full3).
+    The eager build executes op-by-op and never hits that layout.
+    """
+    return table
+
+
+def _attach_stencil_fwd(data, table):
+    return table, data.shape
+
+
+def _attach_stencil_bwd(shape, dtable):
+    return (_build_stencil_bwd(shape, dtable)[0], jnp.zeros_like(dtable))
+
+
+attach_stencil.defvjp(_attach_stencil_fwd, _attach_stencil_bwd)
 
 
 # Tile-shared 7³ window tables (ops/trace tile trace): 343 floats/row is a
@@ -119,6 +203,11 @@ def build_window(data: jnp.ndarray) -> jnp.ndarray:
     7-wide weights of :func:`window_eval_value` — bit-identical tap values
     to the stencil path.
     """
+    # Detached by design: the window table is only consumed by the
+    # DETACHED tile traces (ops/trace), and letting autodiff linearize a
+    # 343-slice build would materialize catastrophically padded tangent
+    # temps (see build_stencil's custom_vjp note).
+    data = jax.lax.stop_gradient(data)
     z, y, x = data.shape[-3], data.shape[-2], data.shape[-1]
     # high-side pad 6: the last tap's slice starts at offset 7 and spans
     # dim+3 — anything less and dynamic_slice silently clamps the start
@@ -137,9 +226,10 @@ def build_window(data: jnp.ndarray) -> jnp.ndarray:
                         padded, (a + 1, b + 1, c + 1), (z + 3, y + 3, x + 3)
                     ).reshape(-1)
                 )
-    # Leading-axis stack + transpose — see build_stencil (the axis=-1 form
-    # concatenates (N, 1) operands padded 128× by the TPU tile).
-    return jnp.stack(cols, axis=0).T
+    # Leading-axis stack + transpose behind a barrier — see build_stencil
+    # (the axis=-1 form concatenates (N, 1) operands padded 128× by the
+    # TPU tile, and transpose-folding would recreate it).
+    return jax.lax.optimization_barrier(jnp.stack(cols, axis=0)).T
 
 
 def window_base_setup(data: jnp.ndarray, p: jnp.ndarray):
