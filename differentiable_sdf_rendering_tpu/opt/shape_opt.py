@@ -95,8 +95,25 @@ def _make_cameras(opt_cfg: SdfConfig, resx, resy):
     return fn(opt_cfg.n_sensors, opt_cfg.angle_shift, resx, resy)
 
 
+@functools.lru_cache(None)
+def _attach_tables() -> bool:
+    """Whether training renders attach the stencil gather table (one
+    contiguous 64-float row per interpolation query instead of 64 scalar
+    taps — the measured 7× adjoint lever on TPU, BASELINE.md).  Gradients
+    flow data → table → taps through build_stencil's custom_vjp, so values
+    match the per-tap path to float accumulation order
+    (tests/test_grid.py::test_stencil_path_matches_clamped).  Defaults to
+    on for TPU; override with DSDF_ATTACH_TABLES=0/1."""
+    env = os.environ.get("DSDF_ATTACH_TABLES")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.devices()[0].platform == "tpu"
+
+
 def _build_scene(base: Scene, params: dict) -> Scene:
     sdf = base.sdf.with_data(params["sdf"])
+    if _attach_tables():
+        sdf = sdf.prepare()  # self-gates on grid size (gridops.stencil_ok)
     bsdf = base.bsdf
     if "albedo" in params:
         if hasattr(bsdf, "base_color_tex"):
