@@ -29,11 +29,12 @@ import numpy as np
 
 
 def main():
-    # Default to the medium protocol with small per-program slices: the
-    # remote v5e worker has crashed twice on large single programs (see
-    # CLAUDE.md); a recorded medium-scale number beats a crashed full run.
-    # Set BENCH_SCALE=full for the exact Fig-9a protocol on healthy chips.
-    scale = os.environ.get("BENCH_SCALE", "medium")
+    # Default: the exact Fig-9a protocol (256², 256+64 spp, 128³), sliced
+    # into 67.6 k-lane programs (BENCH_SLICE=1) — the class proven safe on
+    # this v5e (r2: 635.9 k rays/s, no crash) after the eager gather-table
+    # fix removed the compile/HBM OOMs that killed r1's full attempts.  The
+    # watchdog ladder still falls back medium → small → CPU on failure.
+    scale = os.environ.get("BENCH_SCALE", "full")
     if os.environ.get("BENCH_SMALL", "0") == "1":
         scale = "small"
     if scale == "medium" and "BENCH_SLICE" not in os.environ:
@@ -57,7 +58,7 @@ def main():
     res, primal_spp, adjoint_spp, grid_res, n_runs, slice_spp = {
         "small": (64, 16, 8, 32, 2, 16),
         "medium": (128, 64, 16, 64, 3, 16),
-        "full": (256, 256, 64, 128, 5, 4),
+        "full": (256, 256, 64, 128, 3, 1),
     }[scale]
     if "BENCH_SLICE" in os.environ:  # lanes-per-program override (fragile chips)
         slice_spp = int(os.environ["BENCH_SLICE"])
@@ -365,7 +366,8 @@ def _main_with_fallback():
     import subprocess
 
     ladder = [
-        (os.environ.get("BENCH_SCALE", "medium"), {}, 1500),
+        (os.environ.get("BENCH_SCALE", "full"), {}, 2100),
+        ("medium", {}, 1500),
         ("small", {}, 900),
         ("small", {"JAX_PLATFORMS": "cpu", "BENCH_LOCAL_CPU": "1"}, 1000),
     ]
