@@ -93,8 +93,14 @@ def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None, m
     ``occlusion=True`` marks a binary visibility query: the 10-step
     intersection refinement is skipped (it moves ``its_t`` by O(ε) but never
     flips finite↔inf, so ``isfinite(its_t)`` — the only consumed bit — is
-    invariant; skipping saves ~10 grid evals on every shadow-hit lane)."""
-    if occlusion and cfg.trace.refine_intersection:
+    invariant; skipping saves ~10 grid evals on every shadow-hit lane).
+    ``occlusion`` may also be a per-lane bool array: refinement then runs
+    masked to the non-occlusion lanes, letting one merged trace carry shadow
+    and scattering rays together (the adjoint's NEE+MIS fusion)."""
+    refine_active = True
+    if isinstance(occlusion, jnp.ndarray):
+        refine_active = ~occlusion
+    elif occlusion and cfg.trace.refine_intersection:
         cfg = dataclasses.replace(cfg, trace=dataclasses.replace(cfg.trace, refine_intersection=False))
     if cfg.tile_primary > 1 and depth == 0 and cfg.trace.tile == 0:
         # Primary rays are pixel-tile-coherent; deeper bounces/shadow rays
@@ -110,7 +116,8 @@ def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None, m
     if reparam and cfg.warp.max_reparam_depth >= 0 and depth > cfg.warp.max_reparam_depth:
         reparam = False
     if not reparam:
-        its_t = sphere_trace(scene.sdf, o, d, cfg.trace, maxt=maxt)
+        its_t = sphere_trace(scene.sdf, o, d, cfg.trace, maxt=maxt,
+                             refine_active=refine_active)
         d1, det = d, jnp.ones(o.shape[:-1], o.dtype)
     elif cfg.warp_kind == "conv":
         from ..ops.warp_conv import conv_reparameterize
@@ -120,7 +127,8 @@ def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None, m
         u = uni_conv.reshape(uni_conv.shape[:-1] + (n_aux, 2))
         d1, det = conv_reparameterize(scene.sdf, o, d, u, cfg.conv, cfg.trace)
     else:
-        its_t, d1, det = reparameterize(scene.sdf, o, d, cfg.warp, cfg.trace, maxt=maxt)
+        its_t, d1, det = reparameterize(scene.sdf, o, d, cfg.warp, cfg.trace, maxt=maxt,
+                                        refine_active=refine_active)
     if scene.mesh is None:
         return its_t, d1, det, None
     from ..ops.mesh_intersect import mesh_intersect
@@ -333,10 +341,39 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     shadow_maxt = jnp.where(
         jnp.isfinite(ds_dist), ds_dist * (1.0 - 1e-3) - cfg.shadow_eps, jnp.inf
     )
-    occluded_t, _, det_e, _ = _ray_intersect(
-        scene, shadow_o, ds_d, 1, cfg, mode, _conv_uni(uni, cfg, 1), maxt=shadow_maxt,
-        occlusion=True,
-    )
+
+    # Fused depth-1 trace: the NEE shadow ray and the MIS BSDF ray run as
+    # ONE trace of 2N lanes instead of two sequential while_loops — the
+    # trace cost is dominated by loop machinery + straggler tails (~3 M
+    # lanes/s per pass on v5e regardless of width at these sizes), so
+    # halving the number of passes is nearly free throughput.  Pure lane
+    # concatenation: compaction reorders lanes anyway, per-lane math is
+    # bit-identical, and the occlusion mask keeps refinement off the shadow
+    # half.  Conv-warp keeps separate calls (per-call aux-uniform columns).
+    fuse_mis = cfg.use_mis and cfg.warp_kind != "conv"
+    if fuse_mis:
+        si_det = jax.lax.stop_gradient(si)
+        bs_wo, bs_pdf, bs_weight = scene.bsdf.sample(si_det, jax.lax.stop_gradient(uni[:, 4:6]))
+        bsdf_d = jax.lax.stop_gradient(si_det.to_world(bs_wo))
+        bsdf_o = si.p + bsdf_d * cfg.shadow_eps
+        n_l = shadow_o.shape[0]
+        t_m, d_m, det_m, _ = _ray_intersect(
+            scene,
+            jnp.concatenate([shadow_o, bsdf_o], 0),
+            jnp.concatenate([ds_d, bsdf_d], 0),
+            1, cfg, mode, None,
+            maxt=jnp.concatenate([shadow_maxt, jnp.full_like(shadow_maxt, jnp.inf)], 0),
+            occlusion=jnp.concatenate(
+                [jnp.ones(n_l, bool), jnp.zeros(n_l, bool)], 0
+            ),
+        )
+        occluded_t, det_e = t_m[:n_l], det_m[:n_l]
+        t_b, d_b, det_b = t_m[n_l:], d_m[n_l:], det_m[n_l:]
+    else:
+        occluded_t, _, det_e, _ = _ray_intersect(
+            scene, shadow_o, ds_d, 1, cfg, mode, _conv_uni(uni, cfg, 1), maxt=shadow_maxt,
+            occlusion=True,
+        )
     visibility = jnp.where(jnp.isfinite(occluded_t), 0.0, 1.0)
 
     wo = si.to_local(ds_d)
@@ -365,12 +402,17 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
 
     # ---------------- BSDF sampling (MIS) ----------------
     if cfg.use_mis:
-        si_det = jax.lax.stop_gradient(si)
-        bs_wo, bs_pdf, bs_weight = scene.bsdf.sample(si_det, jax.lax.stop_gradient(uni[:, 4:6]))
+        if not fuse_mis:
+            si_det = jax.lax.stop_gradient(si)
+            bs_wo, bs_pdf, bs_weight = scene.bsdf.sample(
+                si_det, jax.lax.stop_gradient(uni[:, 4:6])
+            )
+            bsdf_d = jax.lax.stop_gradient(si_det.to_world(bs_wo))
+            bsdf_o = si.p + bsdf_d * cfg.shadow_eps
+            t_b, d_b, det_b, _ = _ray_intersect(
+                scene, bsdf_o, bsdf_d, 1, cfg, mode, _conv_uni(uni, cfg, 2)
+            )
         active_b = shade & (bs_pdf > 0)
-        bsdf_d = jax.lax.stop_gradient(si_det.to_world(bs_wo))
-        bsdf_o = si.p + bsdf_d * cfg.shadow_eps
-        t_b, d_b, det_b, _ = _ray_intersect(scene, bsdf_o, bsdf_d, 1, cfg, mode, _conv_uni(uni, cfg, 2))
         bsdf_val = scene.bsdf.eval(si, bs_wo)
         if maux is not None:
             # mesh lanes: Lambertian f with the mesh albedo; bs_pdf stays the

@@ -276,11 +276,15 @@ def _tile_trace(sdf, o, d, params: TraceParams, maxt, active0, t0, trace_eps):
     return s["its_t"].reshape(n), s["esc"].reshape(n)
 
 
-def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, active=True):
+def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, active=True,
+                 refine_active=True):
     """Non-differential sphere trace → intersection distance (N,), inf = miss.
 
     Reference ``ray_intersect_non_diff`` (shapes.py:290-339) including the
-    10-step decreasing-rate refinement loop.
+    10-step decreasing-rate refinement loop.  ``refine_active`` masks the
+    refinement per lane (False = occlusion-only lanes whose ``isfinite`` bit
+    is invariant under refinement) — lets one merged trace carry shadow and
+    scattering rays together without paying refinement on the former.
     """
     sdf = _fast_sdf(sdf)
     o = jax.lax.stop_gradient(o)
@@ -378,11 +382,11 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
         its_t = jnp.where(esc, its_t, tile_its_t)
 
     if params.refine_intersection:
-        its_t = _refine(sdf, o, d, its_t, trace_eps, params)
+        its_t = _refine(sdf, o, d, its_t, trace_eps, params, refine_active)
     return its_t
 
 
-def _refine(sdf, o, d, its_t, trace_eps, params: TraceParams):
+def _refine(sdf, o, d, its_t, trace_eps, params: TraceParams, refine_active=True):
     """Intersection refinement at decreasing rate 10/(10+i) (shapes.py:244-257).
 
     Runs as a compacted while_loop rather than a full-width ``fori_loop``:
@@ -401,7 +405,7 @@ def _refine(sdf, o, d, its_t, trace_eps, params: TraceParams):
         refining = refining & ((f <= 0) | (f > c["trace_eps"])) & (i + 1 < params.refine_steps)
         return {"active": refining, "t": t_new, "i": i + 1}
 
-    refining0 = jnp.isfinite(its_t) & (params.refine_steps > 0)
+    refining0 = jnp.isfinite(its_t) & (params.refine_steps > 0) & refine_active
     state = {
         "active": refining0,
         "t": jnp.where(refining0, its_t, 0.0),
@@ -452,7 +456,8 @@ def _trace_weight(d, i, bbox, x, f, g, h, params: TraceParams):
 
 
 def sphere_trace_warp(
-    sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, active=True
+    sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, active=True,
+    refine_active=True,
 ) -> TraceResult:
     """Differential sphere trace with warp-field accumulators (shapes.py:115-288).
 
@@ -666,7 +671,7 @@ def sphere_trace_warp(
 
     its_t = s["its_t"]
     if params.refine_intersection:
-        its_t = _refine(sdf, o, d, its_t, trace_eps, params)
+        its_t = _refine(sdf, o, d, its_t, trace_eps, params, refine_active)
 
     # Normalize the trapezoid accumulators (shapes.py:259-261)
     weight_sum = s["weight_sum"]

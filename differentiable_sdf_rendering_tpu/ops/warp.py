@@ -183,6 +183,7 @@ def reparameterize(
     maxt=jnp.inf,
     active=True,
     reparam=True,
+    refine_active=True,
 ):
     """Detached warp trace + attached warp eval (reference warp.py:99-123).
 
@@ -190,7 +191,9 @@ def reparameterize(
     intersection distance (inf = miss), ``d_reparam`` carries the warp
     gradient (primal = d), and ``div`` is ``replace_grad(1, divergence)``.
     """
-    res: TraceResult = sphere_trace_warp(sdf, o, d, trace_params, maxt=maxt, active=active)
+    res: TraceResult = sphere_trace_warp(
+        sdf, o, d, trace_params, maxt=maxt, active=active, refine_active=refine_active
+    )
     if not reparam:
         return res.its_t, d, jnp.ones_like(res.warp_t)
 
