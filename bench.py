@@ -55,10 +55,13 @@ def main():
 
     # film res / primal spp / adjoint spp / grid res / runs / spp per slice
     # (full = the reference's Fig-9a protocol: 256², 256+64 spp, 128³ SDF)
+    # full slice_spp=4 (270k-lane programs): stable on this chip since the
+    # r3 elementwise-jet rewrite shrank program temporaries, and the wider
+    # adjoint programs cut t_adjoint 7.76 → 4.29 s (BASELINE.md r3).
     res, primal_spp, adjoint_spp, grid_res, n_runs, slice_spp = {
         "small": (64, 16, 8, 32, 2, 16),
         "medium": (128, 64, 16, 64, 3, 16),
-        "full": (256, 256, 64, 128, 3, 1),
+        "full": (256, 256, 64, 128, 3, 4),
     }[scale]
     if "BENCH_SLICE" in os.environ:  # lanes-per-program override (fragile chips)
         slice_spp = int(os.environ["BENCH_SLICE"])
@@ -237,8 +240,11 @@ def trace_variants():
     from differentiable_sdf_rendering_tpu.ops.sdf import GridSDF, TraceParams
     from differentiable_sdf_rendering_tpu.ops.trace import sphere_trace
 
+    # full sweep uses spp=4 (262k lanes): the per-tap variant materializes
+    # (N, 4, 4, 4) taps whose T(4,128) tiling pads 32× — 16 GB HLO temp at
+    # 2M lanes (observed OOM, r3)
     res, spp, grid_res = {
-        "small": (64, 8, 32), "medium": (128, 16, 64), "full": (256, 32, 128),
+        "small": (64, 8, 32), "medium": (128, 16, 64), "full": (256, 4, 128),
     }[os.environ.get("BENCH_SCALE", "medium")]
     # Prepare the gather tables EAGERLY and pass the SDF as a jit ARGUMENT:
     # a closure-captured constant grid lets XLA constant-fold the in-jit

@@ -56,7 +56,10 @@ class PerspectiveCamera:
         x = (2.0 * u - 1.0) * self.tan_half_fov
         y = (1.0 - 2.0 * v) * self.tan_half_fov * aspect
         d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
-        d = normalize(jnp.einsum("ij,...j->...i", self.rot, d_cam))
+        # rot @ d as broadcast-multiply-reduce: per-lane small einsums lower
+        # to padded batched dot_generals far below the VPU (ops/grid.py
+        # _jet_contract note)
+        d = normalize(jnp.sum(self.rot * d_cam[..., None, :], axis=-1))
         o = jnp.broadcast_to(self.origin, d.shape)
         return o, d
 
@@ -68,7 +71,8 @@ class PerspectiveCamera:
         ``w/detach(w)``, reparam.py:99-104).
         """
         rel = p - self.origin
-        p_cam = jnp.einsum("ji,...j->...i", self.rot, rel)  # rotᵀ
+        # rotᵀ @ rel, elementwise (see sample_ray)
+        p_cam = jnp.sum(self.rot * rel[..., :, None], axis=-2)
         z = jnp.maximum(p_cam[..., 2], 1e-8)
         x = p_cam[..., 0] / z
         y = p_cam[..., 1] / z

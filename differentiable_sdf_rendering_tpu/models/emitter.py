@@ -50,6 +50,11 @@ class ConstantEmitter:
     def pdf_direction(self, d):
         return jnp.full(d.shape[:-1], _INV_4PI)
 
+    def power_proxy(self):
+        """Approximate emitted power ∫ L dω (for emitter-selection weights,
+        Mitsuba importance-weights emitter choice by power)."""
+        return 4.0 * jnp.pi * jnp.mean(self.radiance)
+
 
 @struct.dataclass
 class VMFEmitter:
@@ -101,6 +106,10 @@ class VMFEmitter:
         w = self._lobe_weight()
         return w * vmf_pdf(jnp.sum(d * self.mu, -1), self.kappa) + (1.0 - w) * _INV_4PI
 
+    def power_proxy(self):
+        # the vMF lobe density integrates to 1 over the sphere
+        return jnp.mean(self.scale) + 4.0 * jnp.pi * jnp.mean(self.ambient)
+
 
 @struct.dataclass
 class GridEnvmap:
@@ -123,6 +132,25 @@ class GridEnvmap:
         row_cdf = jnp.cumsum(rowsum) / jnp.sum(rowsum)
         col_cdf = jnp.cumsum(lum, axis=-1) / jnp.sum(lum, axis=-1, keepdims=True)
         return cls(image=image, row_cdf=row_cdf, col_cdf=col_cdf)
+
+    @classmethod
+    def from_image(cls, path: str, scale: float = 1.0):
+        """Load an equirectangular HDR environment map from an .exr (or any
+        PNG/float image) file — the role of Mitsuba's image ``envmap``
+        plugin in the reference scenes (``emitters/cathedral.xml``,
+        SURVEY.md §2.2).  Importance-sampling CDFs are built on load."""
+        from ..utils import io as uio
+
+        if path.endswith(".exr"):
+            img = uio.read_exr(path)
+        else:
+            img = uio.read_png(path)
+        img = jnp.asarray(img, jnp.float32)
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.shape[-1] == 1:
+            img = jnp.repeat(img, 3, axis=-1)
+        return cls.create(img[..., :3] * scale)
 
     def _dir_to_uv(self, d):
         theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
@@ -164,6 +192,12 @@ class GridEnvmap:
         st = jnp.maximum(jnp.sin((y + 0.5) / h * jnp.pi), 1e-6)
         # pixel solid angle = (2π/w)(π/h) sinθ
         return p_row * p_col / ((2.0 * jnp.pi / w) * (jnp.pi / h) * st)
+
+    def power_proxy(self):
+        h, w, _ = self.image.shape
+        theta = (jnp.arange(h) + 0.5) / h * jnp.pi
+        d_omega = (2.0 * jnp.pi / w) * (jnp.pi / h) * jnp.sin(theta)
+        return jnp.sum(self.image.mean(-1) * d_omega[:, None])
 
 
 @struct.dataclass
@@ -255,6 +289,11 @@ class AreaEmitter:
         cos_l = jnp.maximum(jnp.sum(-d * n, -1), 1e-6)
         pdf = jnp.where(jnp.isfinite(t), t**2 / (area * cos_l), 0.0)
         return pdf
+
+    def power_proxy(self):
+        # one-sided Lambertian rect: ∫ L cosθ dω dA = π · A · L
+        _, area = self._normal_area
+        return jnp.pi * area * jnp.mean(self.radiance)
 
 
 def make_gradient_envmap(h=64, w=128, top=(1.2, 1.1, 1.0), bottom=(0.15, 0.18, 0.25), sun_dir=(0.4, 0.7, -0.4), sun_power=40.0, sun_scale=25.0):

@@ -226,13 +226,27 @@ def _emitted_along(scene, p, d):
     return rad, t_geo
 
 
+def _area_select_prob(scene):
+    """Probability of picking the area emitter in the NEE mixture,
+    proportional to approximate emitter power (Mitsuba importance-weights
+    emitter selection; a 50/50 split wastes half the budget on a dim
+    ambient in ``plane_area``-style scenes).  Detached scalar, clipped away
+    from {0, 1} so both mixture components keep nonzero density wherever
+    they carry radiance (unbiasedness of the MIS weights)."""
+    pa = scene.area_emitter.power_proxy()
+    pe = scene.emitter.power_proxy()
+    p = pa / jnp.maximum(pa + pe, 1e-12)
+    return jax.lax.stop_gradient(jnp.clip(p, 0.02, 0.98))
+
+
 def _emitter_pdf(scene, p, d):
     """Solid-angle density of :func:`_nee_sample` at ``p`` producing ``d``
     (Mitsuba's ``scene.pdf_emitter_direction`` for MIS)."""
     pdf = scene.emitter.pdf_direction(d)
     if scene.area_emitter is None:
         return pdf
-    return 0.5 * pdf + 0.5 * scene.area_emitter.pdf_direction_from(p, d)
+    p_area = _area_select_prob(scene)
+    return (1.0 - p_area) * pdf + p_area * scene.area_emitter.pdf_direction_from(p, d)
 
 
 def _nee_sample(scene, p, u2):
@@ -241,15 +255,17 @@ def _nee_sample(scene, p, u2):
     ``(d, pdf, radiance, maxt)`` where ``maxt`` is the distance to the
     emitter surface (inf for environment directions) that bounds the shadow
     ray.  With both an environment and an area emitter present the sampler
-    is a 50/50 direction mixture (Mitsuba picks among scene emitters
-    uniformly and reweights)."""
+    is a power-proportional direction mixture (:func:`_area_select_prob`)."""
     if scene.area_emitter is None:
         d, pdf, rad = scene.emitter.sample_direction(u2)
         return d, pdf, rad, jnp.full(pdf.shape, jnp.inf)
-    pick_area = u2[..., 0] < 0.5
+    p_area = _area_select_prob(scene)
+    pick_area = u2[..., 0] < p_area
     # re-stretch the selector uniform for reuse in the chosen branch
-    u0 = jnp.where(pick_area, u2[..., 0] * 2.0, (u2[..., 0] - 0.5) * 2.0)
-    u = jnp.stack([u0, u2[..., 1]], -1)
+    u0 = jnp.where(
+        pick_area, u2[..., 0] / p_area, (u2[..., 0] - p_area) / (1.0 - p_area)
+    )
+    u = jnp.stack([jnp.clip(u0, 0.0, 1.0), u2[..., 1]], -1)
     d_env, _, _ = scene.emitter.sample_direction(u)
     d_area, _, _, _ = scene.area_emitter.sample_from(p, u)
     d = jnp.where(pick_area[..., None], d_area, d_env)

@@ -35,23 +35,25 @@ from ..ops.sampling import cosine_hemisphere_pdf, mis_weight, square_to_cosine_h
 from ..ops.trace import sphere_trace
 from ..ops.vecmath import normalize, replace_grad
 from ..ops.warp import reparameterize
-from .integrator import _compute_si, _mesh_diffuse
+from .integrator import _compute_si, _emitted_along, _emitter_pdf, _mesh_diffuse, _nee_sample
 
 __all__ = ["sample_prb"]
 
 _RR_DEPTH = 5
 
 
-def _merged_intersect(scene, o, d, trace):
+def _merged_intersect(scene, o, d, trace, maxt=jnp.inf):
     """Non-diff SDF trace merged with the optional auxiliary mesh by
     nearest t (the base-class hybrid intersect the reference gives every
-    integrator, reparam.py:201-232).  Returns ``(its_t, maux)``."""
-    its_t = sphere_trace(scene.sdf, o, d, trace)
+    integrator, reparam.py:201-232).  Returns ``(its_t, maux)``.  ``maxt``
+    bounds the ray extent (distance-bounded shadow rays to area emitters)."""
+    its_t = sphere_trace(scene.sdf, o, d, trace, maxt=maxt)
     if scene.mesh is None:
         return its_t, None
     from ..ops.mesh_intersect import mesh_intersect
 
     mt, mn = mesh_intersect(scene.mesh, o, d)
+    mt = jnp.where(mt <= maxt, mt, jnp.inf)
     return jnp.minimum(its_t, mt), (mt, mn)
 
 
@@ -122,21 +124,31 @@ def _trace_primal(scene, o, d, uni, cfg):
     for k in range(cfg.max_depth):
         u = uni[:, 6 + 8 * k : 6 + 8 * (k + 1)]
         its_t, maux = _merged_intersect(scene, ray_o, ray_d, cfg.trace)
-        valid = jnp.isfinite(its_t) & active
+        # Emitted radiance seen along the ray: environment on escaped lanes,
+        # the area emitter's front face where its (opaque) rect is the
+        # nearest hit — the generic scene-emitter handling the reference's
+        # PRB inherits (sdf_prb_reparam.py:302-304 via si.emitter(scene)).
+        emitted, t_light = _emitted_along(scene, ray_o, ray_d)
+        light_first = jnp.isfinite(t_light) & (t_light < its_t)
+        valid = jnp.isfinite(its_t) & active & ~light_first
         si, is_mesh = _compute_si(scene, ray_o, ray_d, its_t, maux, differentiable=False)
         is_dmesh, is_mirror = _mesh_masks(scene, is_mesh)
 
-        # Le: environment hit (escaped rays)
-        escaped = active & ~jnp.isfinite(its_t)
-        Le = jnp.where(
-            escaped[..., None], beta * mis_em[..., None] * scene.emitter.eval(ray_d), 0.0
-        )
+        # Le: emitter seen directly (env on escaped lanes, area-rect front
+        # face when nearest); the rect is opaque, so its lanes terminate.
+        see_emitted = active & (light_first | ~jnp.isfinite(its_t))
+        Le = jnp.where(see_emitted[..., None], beta * mis_em[..., None] * emitted, 0.0)
 
-        # NEE (skipped on delta/mirror vertices: eval ≡ 0)
+        # NEE (skipped on delta/mirror vertices: eval ≡ 0); the sampler is
+        # the power-proportional env/area mixture with distance-bounded
+        # shadow rays (integrator._nee_sample, sdf_prb_reparam.py:313-332)
         active_em = valid & (k + 1 < cfg.max_depth) & ~is_mirror
-        ds_d, ds_pdf, ds_rad = scene.emitter.sample_direction(u[:, 0:2])
+        ds_d, ds_pdf, ds_rad, ds_dist = _nee_sample(scene, si.p, u[:, 0:2])
+        shadow_maxt = jnp.where(
+            jnp.isfinite(ds_dist), ds_dist * (1.0 - 1e-3) - cfg.shadow_eps, jnp.inf
+        )
         em_o = si.p + ds_d * cfg.shadow_eps
-        em_t, _ = _merged_intersect(scene, em_o, ds_d, cfg.trace)
+        em_t, _ = _merged_intersect(scene, em_o, ds_d, cfg.trace, maxt=shadow_maxt)
         occluded = jnp.isfinite(em_t)
         em_weight = jnp.where(
             (ds_pdf > 0)[..., None], ds_rad / jnp.maximum(ds_pdf, 1e-12)[..., None], 0.0
@@ -171,16 +183,17 @@ def _trace_primal(scene, o, d, uni, cfg):
             beta_next = beta_next / jnp.maximum(rr_prob, 1e-8)[..., None]
             active_next = active_next & rr_continue
 
-        # MIS weight for the next vertex (env pdf of the BSDF direction);
-        # a delta lobe cannot be matched by emitter sampling → weight 1
-        pdf_em_next = scene.emitter.pdf_direction(ray_next_d)
+        # MIS weight for the next vertex (emitter-mixture pdf of the BSDF
+        # direction); a delta lobe cannot be matched by emitter sampling → 1
+        pdf_em_next = _emitter_pdf(scene, ray_next_o, ray_next_d)
         mis_em_next = jnp.where(bs_delta, 1.0, mis_weight(bs_pdf, pdf_em_next))
 
         recs.append(
             dict(
                 ray_o=ray_o, ray_d=ray_d, its_t=its_t, valid=valid, active=active,
-                escaped=escaped, beta=beta, mis_em=mis_em, Le=Le, Lr_dir=Lr_dir,
+                see_emitted=see_emitted, beta=beta, mis_em=mis_em, Le=Le, Lr_dir=Lr_dir,
                 ds_d=ds_d, ds_pdf=ds_pdf, em_weight=em_weight, occluded=occluded,
+                shadow_maxt=shadow_maxt,
                 active_em=active_em, bs_wo=bs_wo, bs_pdf=bs_pdf, bs_weight=bs_weight,
                 mis_direct=mis_direct, is_dmesh=is_dmesh, is_mirror=is_mirror,
                 si=si,
@@ -239,13 +252,8 @@ def sample_prb(scene, o, d, uni, cfg, mode):
     materials (the reference's hybrid base-class intersect,
     reparam.py:201-232, and the mirror-opt scenes it feeds into PRB).
     """
-    if scene.area_emitter is not None:
-        raise NotImplementedError(
-            "finite-position area emitters are not supported by "
-            "sdf_prb_reparam yet; use integrator='sdf_direct_reparam'."
-        )
     recs, L_primal = _trace_primal(scene, o, d, uni, cfg)
-    valid_ray = recs[0]["valid"] | (not cfg.hide_emitters)
+    valid_ray = recs[0]["valid"] | recs[0]["see_emitted"] | (not cfg.hide_emitters)
     if mode == "primal":
         ones = jnp.ones(o.shape[:-1], o.dtype)
         return L_primal, valid_ray, ones, d
@@ -299,17 +307,27 @@ def sample_prb(scene, o, d, uni, cfg, mode):
         # --- attached current interaction (prb:298-300) ---
         si_cur = _attached_si(scene, r["ray_o"], d_rep, r)
 
-        # --- Le (env) with attached direction (prb:302-304) ---
+        # --- Le with attached direction (prb:302-304): environment or the
+        # area emitter's front face, re-evaluated along the reparameterized
+        # direction (the rect's radiance is direction-independent; its
+        # silhouette boundary gradient rides det_k) ---
+        emitted_att, _ = _emitted_along(
+            scene, r["ray_o"] if first else jax.lax.stop_gradient(si_prev.p), d_rep
+        )
         Le = jnp.where(
-            r["escaped"][..., None],
-            r["beta"] * r["mis_em"][..., None] * scene.emitter.eval(d_rep),
+            r["see_emitted"][..., None],
+            r["beta"] * r["mis_em"][..., None] * emitted_att,
             0.0,
         )
 
-        # --- NEE with reparameterized shadow ray (prb:313-332) ---
+        # --- NEE with reparameterized, distance-bounded shadow ray
+        # (prb:313-332; ray_test's ds.dist bound) ---
         em_o = si_cur.p + r["ds_d"] * cfg.shadow_eps
         if reparam_shadow:
-            _, _, em_det = reparameterize(scene.sdf, em_o, r["ds_d"], cfg.warp, cfg.trace)
+            _, _, em_det = reparameterize(
+                scene.sdf, em_o, r["ds_d"], cfg.warp, cfg.trace,
+                maxt=r["shadow_maxt"],
+            )
         else:
             em_det = jnp.ones_like(det_k)
         wo_em = si_cur.to_local(r["ds_d"])
@@ -344,9 +362,14 @@ def sample_prb(scene, o, d, uni, cfg, mode):
             Lr_ind = jnp.zeros_like(Le)
 
         # --- adjacent-vertex 'extra' boundary terms (prb:385-404) ---
-        # Le_next (attached via wi_next) is omitted: emitters here are
-        # environment lights at infinity whose radiance does not depend on
-        # the incident point, so its gradient is identically zero.
+        # The reference's Le_next term (next-vertex emitted radiance
+        # re-attached via the incident direction, prb:385-389) is
+        # structurally zero here for BOTH emitter families: environment
+        # radiance depends only on the (detached) escaped direction, and
+        # the AreaEmitter's front-face radiance is a spatial constant, so
+        # d(Le_next)/d(si_cur.p) ≡ 0; its silhouette boundary gradient is
+        # carried by det_k instead (pinned by the FD oracle in
+        # tests/test_prb.py::test_prb_area_silhouette_gradient_fd).
         extra = jnp.zeros_like(Le)
         if k + 1 < n_b:
             # next-vertex BSDF re-evaluated with wi toward the attached

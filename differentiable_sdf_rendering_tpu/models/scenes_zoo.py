@@ -162,10 +162,25 @@ SCENE_NAMES = sorted(_PROCEDURAL)
 ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "scenes", "assets")
 
 
+def studio_hdr_envmap():
+    """Image-based environment light from the checked-in equirect HDR asset
+    (scripts/build_assets.py writes it; reference scenes light with real
+    envmaps like ``cathedral.xml``).  Falls back to the procedural gradient
+    sky when the asset is absent."""
+    from .emitter import GridEnvmap
+
+    path = os.path.join(ASSET_DIR, "envmaps", "studio_sky.exr")
+    if os.path.exists(path):
+        return GridEnvmap.from_image(path)
+    return make_gradient_envmap()
+
+
 def target_sdf(scene_name: str, res: int = 128, scene_dir: str | None = None) -> jnp.ndarray:
     """Target SDF grid for a named scene: a real ``.vol`` asset if present
     (from ``scene_dir`` or the checked-in ``scenes/assets``), else the
     procedural stand-in, redistanced to a valid SDF."""
+    if scene_name.endswith("-hdr"):  # lighting variant, same geometry
+        scene_name = scene_name[: -len("-hdr")]
     for sdir in (scene_dir, ASSET_DIR):
         if sdir is None:
             continue
@@ -221,6 +236,11 @@ def scene_rig_full(scene_name: str, param_keys=("sdf",)):
         )
         if scene_name == "plane_red_object":
             bsdf = DiffuseBSDF.create(albedo=(0.75, 0.25, 0.2))
+    elif scene_name.endswith("-hdr") or scene_name == "cathedral":
+        # image-based environment lighting (the reference's envmap scenes,
+        # ``emitters/cathedral.xml`` — SURVEY.md §2.2): the checked-in
+        # equirect HDR asset, importance-sampled via GridEnvmap's CDFs
+        emitter = studio_hdr_envmap()
     else:
         emitter = make_gradient_envmap()
     if len(param_keys) > 2:

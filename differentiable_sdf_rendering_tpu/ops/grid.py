@@ -23,10 +23,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Interpolation contractions must run at full fp32: the default TPU matmul
-# precision (bf16 passes on the MXU) costs ~1e-3 relative error, which is
-# fatal for SDF Hessians and finite-difference gradient checks.
-_HI = jax.lax.Precision.HIGHEST
+# Interpolation contractions are pure elementwise fp32 VPU ops (see
+# _jet_contract): einsum/dot_general forms — even at default precision —
+# lower to padded batched matmuls that measured ~100× below the VPU on
+# v5e, and bf16 MXU passes would be fatal for SDF Hessians anyway.
 
 __all__ = [
     "bspline_weights",
@@ -277,9 +277,22 @@ def window_eval_value(rows: jnp.ndarray, o: jnp.ndarray, f: jnp.ndarray) -> jnp.
     wx = _shift7(bspline_weights(f[..., 0])[0], o[..., 0])
     wy = _shift7(bspline_weights(f[..., 1])[0], o[..., 1])
     wz = _shift7(bspline_weights(f[..., 2])[0], o[..., 2])
-    t = jnp.einsum("...zyx,...x->...zy", taps, wx, precision=_HI)
-    t = jnp.einsum("...zy,...y->...z", t, wy, precision=_HI)
-    return jnp.einsum("...z,...z->...", t, wz, precision=_HI)
+    (value,) = _jet_contract7(taps, (wx,), (wy,), (wz,), [(0, 0, 0)])
+    return value
+
+
+def _jet_contract7(taps, wxs, wys, wzs, orders):
+    """:func:`_jet_contract` for the 7³ window layout (see that docstring
+    for why these contractions must stay elementwise on TPU)."""
+    outs = []
+    for ox, oy, oz in orders:
+        w = (
+            wzs[oz][..., :, None, None]
+            * wys[oy][..., None, :, None]
+            * wxs[ox][..., None, None, :]
+        )
+        outs.append(jnp.sum((taps * w).reshape(taps.shape[:-3] + (343,)), axis=-1))
+    return outs
 
 
 def window_eval_all(rows: jnp.ndarray, o: jnp.ndarray, f: jnp.ndarray, res):
@@ -293,34 +306,26 @@ def window_eval_all(rows: jnp.ndarray, o: jnp.ndarray, f: jnp.ndarray, res):
     wx4, dwx4, ddwx4 = bspline_weights(f[..., 0])
     wy4, dwy4, ddwy4 = bspline_weights(f[..., 1])
     wz4, dwz4, ddwz4 = bspline_weights(f[..., 2])
-    Wx = jnp.stack(
-        [_shift7(wx4, o[..., 0]), _shift7(dwx4, o[..., 0]), _shift7(ddwx4, o[..., 0])],
-        axis=-1,
-    )  # (..., 7, 3)
-    Wy = jnp.stack(
-        [_shift7(wy4, o[..., 1]), _shift7(dwy4, o[..., 1]), _shift7(ddwy4, o[..., 1])],
-        axis=-1,
+    wxs = tuple(_shift7(w, o[..., 0]) for w in (wx4, dwx4, ddwx4))
+    wys = tuple(_shift7(w, o[..., 1]) for w in (wy4, dwy4, ddwy4))
+    wzs = tuple(_shift7(w, o[..., 2]) for w in (wz4, dwz4, ddwz4))
+    value, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz = _jet_contract7(
+        taps, wxs, wys, wzs,
+        [
+            (0, 0, 0),
+            (1, 0, 0), (0, 1, 0), (0, 0, 1),
+            (2, 0, 0), (0, 2, 0), (0, 0, 2),
+            (1, 1, 0), (1, 0, 1), (0, 1, 1),
+        ],
     )
-    Wz = jnp.stack(
-        [_shift7(wz4, o[..., 2]), _shift7(dwz4, o[..., 2]), _shift7(ddwz4, o[..., 2])],
-        axis=-1,
-    )
-    t = jnp.einsum("...zyx,...xi->...zyi", taps, Wx, precision=_HI)
-    t = jnp.einsum("...zyi,...yj->...zij", t, Wy, precision=_HI)
-    out = jnp.einsum("...zij,...zk->...kji", t, Wz, precision=_HI)
-
     rx, ry, rz = res[0], res[1], res[2]
-    value = out[..., 0, 0, 0]
-    grad = jnp.stack(
-        [out[..., 0, 0, 1] * rx, out[..., 0, 1, 0] * ry, out[..., 1, 0, 0] * rz],
-        axis=-1,
-    )
-    hxx = out[..., 0, 0, 2] * (rx * rx)
-    hyy = out[..., 0, 2, 0] * (ry * ry)
-    hzz = out[..., 2, 0, 0] * (rz * rz)
-    hxy = out[..., 0, 1, 1] * (rx * ry)
-    hxz = out[..., 1, 0, 1] * (rx * rz)
-    hyz = out[..., 1, 1, 0] * (ry * rz)
+    grad = jnp.stack([gx * rx, gy * ry, gz * rz], axis=-1)
+    hxx = hxx * (rx * rx)
+    hyy = hyy * (ry * ry)
+    hzz = hzz * (rz * rz)
+    hxy = hxy * (rx * ry)
+    hxz = hxz * (rx * rz)
+    hyz = hyz * (ry * rz)
     row_x = jnp.stack([hxx, hxy, hxz], axis=-1)
     row_y = jnp.stack([hxy, hyy, hyz], axis=-1)
     row_z = jnp.stack([hxz, hyz, hzz], axis=-1)
@@ -406,15 +411,48 @@ def _tap_setup(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None = 
     return taps, f, res
 
 
+def _jet_contract(taps, wxs, wys, wzs, orders):
+    """Separable B-spline contractions as pure elementwise VPU ops.
+
+    TPU-critical formulation: the obvious ``einsum`` chain for these tiny
+    (4-wide) per-lane contractions lowers to padded ``dot_general``s that
+    run ~100× below the VPU ceiling (measured on v5e: the full jet at 262 k
+    lanes cost 798 ms as einsums vs ~10 ms elementwise — trace_probe_r3
+    ``warpbody``).  Instead each requested output order ``(ox, oy, oz)``
+    is a plain multiply-reduce of the (..., 4, 4, 4) taps against the
+    broadcast outer product of the per-axis weight rows — everything stays
+    on (..., 64)-shaped elementwise lanes that XLA fuses into one loop.
+
+    Args:
+      taps: (..., 4, 4, 4) tap values (z, y, x).
+      wxs/wys/wzs: tuples of (..., 4) weight rows per derivative order.
+      orders: list of (ox, oy, oz) derivative multi-indices.
+
+    Returns a list of (...,) outputs, one per order.
+    """
+    # Flatten to (..., 64) BEFORE the product: a materialized (..., 4, 4, 4)
+    # fp32 tensor is tiled T(4,128) — 32× padding (observed 16 GB HLO temp
+    # at a remat boundary) — while (..., 64) pads only 2×.
+    taps64 = taps.reshape(taps.shape[:-3] + (64,))
+    outs = []
+    for ox, oy, oz in orders:
+        w = (
+            wzs[oz][..., :, None, None]
+            * wys[oy][..., None, :, None]
+            * wxs[ox][..., None, None, :]
+        ).reshape(taps64.shape)
+        outs.append(jnp.sum(taps64 * w, axis=-1))
+    return outs
+
+
 def grid_eval(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None = None) -> jnp.ndarray:
     """Cubic B-spline value at points ``p`` (..., 3) → (...,)."""
     taps, f, _ = _tap_setup(data, p, stencil)
     wx, _, _ = bspline_weights(f[..., 0])
     wy, _, _ = bspline_weights(f[..., 1])
     wz, _, _ = bspline_weights(f[..., 2])
-    t = jnp.einsum("...zyx,...x->...zy", taps, wx, precision=_HI)
-    t = jnp.einsum("...zy,...y->...z", t, wy, precision=_HI)
-    return jnp.einsum("...z,...z->...", t, wz, precision=_HI)
+    (value,) = _jet_contract(taps, (wx,), (wy,), (wz,), [(0, 0, 0)])
+    return value
 
 
 def grid_eval_grad(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None = None):
@@ -423,23 +461,11 @@ def grid_eval_grad(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | Non
     wx, dwx, _ = bspline_weights(f[..., 0])
     wy, dwy, _ = bspline_weights(f[..., 1])
     wz, dwz, _ = bspline_weights(f[..., 2])
-
-    Wx = jnp.stack([wx, dwx], axis=-1)  # (..., 4, 2)
-    Wy = jnp.stack([wy, dwy], axis=-1)
-    Wz = jnp.stack([wz, dwz], axis=-1)
-    t = jnp.einsum("...zyx,...xi->...zyi", taps, Wx, precision=_HI)
-    t = jnp.einsum("...zyi,...yj->...zij", t, Wy, precision=_HI)
-    out = jnp.einsum("...zij,...zk->...kji", t, Wz, precision=_HI)  # (..., 2z, 2y, 2x)
-
-    value = out[..., 0, 0, 0]
-    grad = jnp.stack(
-        [
-            out[..., 0, 0, 1] * res[0],
-            out[..., 0, 1, 0] * res[1],
-            out[..., 1, 0, 0] * res[2],
-        ],
-        axis=-1,
+    value, gx, gy, gz = _jet_contract(
+        taps, (wx, dwx), (wy, dwy), (wz, dwz),
+        [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)],
     )
+    grad = jnp.stack([gx * res[0], gy * res[1], gz * res[2]], axis=-1)
     return value, grad
 
 
@@ -453,26 +479,23 @@ def grid_eval_all(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None
     wx, dwx, ddwx = bspline_weights(f[..., 0])
     wy, dwy, ddwy = bspline_weights(f[..., 1])
     wz, dwz, ddwz = bspline_weights(f[..., 2])
-
-    Wx = jnp.stack([wx, dwx, ddwx], axis=-1)  # (..., 4, 3)
-    Wy = jnp.stack([wy, dwy, ddwy], axis=-1)
-    Wz = jnp.stack([wz, dwz, ddwz], axis=-1)
-    t = jnp.einsum("...zyx,...xi->...zyi", taps, Wx, precision=_HI)
-    t = jnp.einsum("...zyi,...yj->...zij", t, Wy, precision=_HI)
-    out = jnp.einsum("...zij,...zk->...kji", t, Wz, precision=_HI)  # (..., 3z, 3y, 3x)
-
-    rx, ry, rz = res[0], res[1], res[2]
-    value = out[..., 0, 0, 0]
-    grad = jnp.stack(
-        [out[..., 0, 0, 1] * rx, out[..., 0, 1, 0] * ry, out[..., 1, 0, 0] * rz],
-        axis=-1,
+    value, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz = _jet_contract(
+        taps, (wx, dwx, ddwx), (wy, dwy, ddwy), (wz, dwz, ddwz),
+        [
+            (0, 0, 0),
+            (1, 0, 0), (0, 1, 0), (0, 0, 1),
+            (2, 0, 0), (0, 2, 0), (0, 0, 2),
+            (1, 1, 0), (1, 0, 1), (0, 1, 1),
+        ],
     )
-    hxx = out[..., 0, 0, 2] * (rx * rx)
-    hyy = out[..., 0, 2, 0] * (ry * ry)
-    hzz = out[..., 2, 0, 0] * (rz * rz)
-    hxy = out[..., 0, 1, 1] * (rx * ry)
-    hxz = out[..., 1, 0, 1] * (rx * rz)
-    hyz = out[..., 1, 1, 0] * (ry * rz)
+    rx, ry, rz = res[0], res[1], res[2]
+    grad = jnp.stack([gx * rx, gy * ry, gz * rz], axis=-1)
+    hxx = hxx * (rx * rx)
+    hyy = hyy * (ry * ry)
+    hzz = hzz * (rz * rz)
+    hxy = hxy * (rx * ry)
+    hxz = hxz * (rx * rz)
+    hyz = hyz * (ry * rz)
     row_x = jnp.stack([hxx, hxy, hxz], axis=-1)
     row_y = jnp.stack([hxy, hyy, hyz], axis=-1)
     row_z = jnp.stack([hxz, hyz, hzz], axis=-1)
@@ -501,6 +524,6 @@ def grid_eval_trilinear(data: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     wx = jnp.stack([1.0 - f[..., 0], f[..., 0]], axis=-1)
     wy = jnp.stack([1.0 - f[..., 1], f[..., 1]], axis=-1)
     wz = jnp.stack([1.0 - f[..., 2], f[..., 2]], axis=-1)
-    t = jnp.einsum("...zyx,...x->...zy", taps, wx, precision=_HI)
-    t = jnp.einsum("...zy,...y->...z", t, wy, precision=_HI)
-    return jnp.einsum("...z,...z->...", t, wz, precision=_HI)
+    # elementwise contraction (see _jet_contract: einsum lowers terribly)
+    w = wz[..., :, None, None] * wy[..., None, :, None] * wx[..., None, None, :]
+    return jnp.sum((taps * w).reshape(taps.shape[:-3] + (8,)), axis=-1)

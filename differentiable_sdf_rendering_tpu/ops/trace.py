@@ -75,7 +75,7 @@ class TraceResult:
         return jnp.isfinite(self.its_t)
 
 
-def _staged_while(body, state, consts, stages=(8, 64), unroll=1):
+def _staged_while(body, state, consts, stages=(8, 64), unroll=1, depth=0):
     """``while_loop(any(active), body)`` with active-lane compaction.
 
     Sphere-trace trip counts are extremely skewed (measured on bunny 64³:
@@ -91,8 +91,19 @@ def _staged_while(body, state, consts, stages=(8, 64), unroll=1):
     read-only leaves (origins, directions, per-lane maxt, ...).  Lanes
     beyond a stage buffer never exist: the gather pads with inactive
     dummies (fill) and the scatter back drops them.
+
+    ``depth`` tracks the compaction level and escalates the unroll factor
+    (×2 per stage, capped at 8): every while/fori iteration costs a fixed
+    ~0.2 ms on this runtime regardless of width (trace_probe_r3 'loop'),
+    so the straggler TAIL — few lanes, many iterations — is iteration-
+    count-bound while its masked body evaluations are nearly free.  Tail
+    unrolling trades ≤(unroll−1) wasted evals per lane for unroll× fewer
+    iterations; body updates are active-masked so its_t/warp_t/weight_sum
+    are bit-identical (derivative accumulators match to FMA-reassociation
+    level, see TraceParams.unroll).
     """
     n = state["active"].shape[-1]
+    unroll_eff = min(max(unroll, 1 << depth), 8)
 
     def run(state, consts, stop_count):
         def cond(s):
@@ -100,13 +111,7 @@ def _staged_while(body, state, consts, stages=(8, 64), unroll=1):
             return jnp.any(alive > stop_count)
 
         def body_u(s):
-            # ``unroll`` masked body evaluations per while iteration: every
-            # update in the trace bodies is gated on the lane's ``active``
-            # bit, so extra in-group evaluations are value-neutral — they
-            # trade ≤(unroll−1) wasted tail evals per lane for unroll× fewer
-            # loop iterations (each iteration carries fixed scalar-core/sync
-            # cost on TPU — measured ~ms-scale at wavefront widths).
-            for _ in range(unroll):
+            for _ in range(unroll_eff):
                 s = body(s, consts)
             return s
 
@@ -131,7 +136,7 @@ def _staged_while(body, state, consts, stages=(8, 64), unroll=1):
         sub_state = _staged_while(
             body, sub_state, sub_consts,
             stages=tuple(r // ratio for r in stages if r > ratio),
-            unroll=unroll,
+            unroll=unroll, depth=depth + 1,
         )
         state = jax.tree_util.tree_map(
             lambda full, sub: full.at[idx].set(sub, mode="drop"), state, sub_state
@@ -417,8 +422,14 @@ def _refine(sdf, o, d, its_t, trace_eps, params: TraceParams, refine_active=True
         "trace_eps": jnp.broadcast_to(trace_eps, its_t.shape),
     }
     # Most lanes are inactive from iteration 0, so compaction kicks in
-    # immediately at the n/2 stage (the full-width loop exits its first cond).
-    s = _staged_while(body, state, consts, stages=(2, 8, 64))
+    # immediately at the n/2 stage (the full-width loop exits its first
+    # cond).  unroll=5: refining lanes mostly run all `refine_steps`
+    # iterations (the decreasing-rate update rarely lands in the ±ε shell
+    # early), and each while iteration costs a fixed ~0.2 ms on this
+    # runtime — unrolling cut the measured refine share of a plain 262k
+    # trace from 21 ms to ~a third (r3 device sweep).  Masked body ⇒
+    # bit-identical refined t.
+    s = _staged_while(body, state, consts, stages=(2, 8, 64), unroll=5)
     return jnp.where(refining0, s["t"], its_t)
 
 
@@ -447,8 +458,11 @@ def _trace_weight(d, i, bbox, x, f, g, h, params: TraceParams):
     )
     # ∇(n·d)²/|n|² = 2·r·(d − r·n) with r = (n·d)/|n|², then chain through H
     gradient = 2.0 * dot_ratio[..., None] * (d - dot_ratio[..., None] * g)
-    denom_d = jnp.sign(f)[..., None] * g + params.sil_weight_offset * jnp.einsum(
-        "...i,...ij->...j", gradient, h
+    # per-lane 3-vector · 3×3 as broadcast-multiply-reduce: einsum lowers to
+    # a padded batched dot_general ~100× below the VPU (see ops/grid.py
+    # _jet_contract) — this runs EVERY warp-trace step
+    denom_d = jnp.sign(f)[..., None] * g + params.sil_weight_offset * jnp.sum(
+        gradient[..., :, None] * h, axis=-2
     )
     dist_weight_d = (-params.weight_power * dist_weight / denom)[..., None] * denom_d
     weight_d = dist_weight[..., None] * bbox_weight_d + bbox_weight[..., None] * dist_weight_d

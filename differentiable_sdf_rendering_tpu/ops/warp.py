@@ -90,8 +90,12 @@ def warp_vector_and_jac(sdf, x, cfg: WarpConfig):
     if cfg.normalize_warp_field:
         n_hat, norm_jac = normalize_sqr_with_jac(g_det)
         v0 = -n_hat * f[..., None]
+        # per-lane 3×3 matmuls as broadcast-multiply-reduce (einsum lowers
+        # to padded batched dot_generals ~100× below the VPU; ops/grid.py
+        # _jet_contract docstring)
         jac = (
-            -jnp.einsum("...ij,...jk->...ik", norm_jac, h) * f[..., None, None]
+            -jnp.sum(norm_jac[..., :, :, None] * h[..., None, :, :], axis=-2)
+            * f[..., None, None]
             - outer(n_hat, g)
         )
     else:
@@ -161,10 +165,12 @@ def warp_eval(
     warp = normalize(warp)
 
     eye = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), jac.shape)
-    proj = jnp.einsum("...ij,...jk->...ik", eye - outer(d_det, d_det), jac)
-    jac_full = proj + jnp.einsum(
-        "...ij,...jk->...ik", proj, outer(d_det, dt_dx / t_safe[..., None])
-    )
+
+    def mat3(a, b):  # batched 3×3 matmul, elementwise (see jac note above)
+        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+    proj = mat3(eye - outer(d_det, d_det), jac)
+    jac_full = proj + mat3(proj, outer(d_det, dt_dx / t_safe[..., None]))
     div = jac_full[..., 0, 0] + jac_full[..., 1, 1] + jac_full[..., 2, 2]
 
     active = active & (jax.lax.stop_gradient(w) > 0)

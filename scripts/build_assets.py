@@ -38,11 +38,45 @@ GOLDEN_RES = 64
 GOLDEN_SPP = 16
 
 
+def make_studio_hdr(h=128, w=256):
+    """Visually rich equirect HDR: gradient sky + warm/cool softboxes + a
+    hard sun — the role of the reference's real envmap assets
+    (``emitters/cathedral.xml``).  Deterministic, float32, peak ≈ 60."""
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    phi = (np.arange(w) + 0.5) / w * 2.0 * np.pi
+    st = np.sin(theta)[:, None]
+    d = np.stack(
+        [st * np.cos(phi)[None, :],
+         np.broadcast_to(np.cos(theta)[:, None], (h, w)),
+         st * np.sin(phi)[None, :]], -1)
+
+    def lobe(dir_, power):
+        dir_ = np.asarray(dir_, np.float32)
+        dir_ = dir_ / np.linalg.norm(dir_)
+        return np.maximum(d @ dir_, 0.0) ** power
+
+    m = (d[..., 1:2] + 1.0) * 0.5
+    img = m * np.array([0.35, 0.45, 0.75]) + (1 - m) * np.array([0.08, 0.07, 0.06])
+    img = img + lobe((0.8, 0.5, 0.2), 400.0)[..., None] * np.array([55.0, 50.0, 40.0])
+    img = img + lobe((-0.6, 0.6, 0.4), 30.0)[..., None] * np.array([2.0, 2.3, 3.2])
+    img = img + lobe((0.1, 0.3, -0.9), 60.0)[..., None] * np.array([3.5, 2.2, 1.2])
+    # dim ground bounce card
+    img = img + lobe((0.0, -1.0, 0.0), 8.0)[..., None] * np.array([0.25, 0.22, 0.18])
+    return img.astype(np.float32)
+
+
 def main():
     sdf_dir = os.path.join(ASSET_DIR, "sdfs")
     golden_dir = os.path.join(ASSET_DIR, "golden")
+    env_dir = os.path.join(ASSET_DIR, "envmaps")
     os.makedirs(sdf_dir, exist_ok=True)
     os.makedirs(golden_dir, exist_ok=True)
+    os.makedirs(env_dir, exist_ok=True)
+
+    hdr = make_studio_hdr()
+    hdr_fn = os.path.join(env_dir, "studio_sky.exr")
+    write_exr(hdr_fn, hdr)
+    print(f"[envmap] {hdr.shape} peak={hdr.max():.1f} -> {hdr_fn}")
 
     for name, gen in MESHES.items():
         verts, tris = gen()

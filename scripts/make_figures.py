@@ -18,6 +18,8 @@ Figure map (reference driver -> here):
   shading_gradients figures/shading_gradients/...       -> fig_shading_gradients (warp vs shading-only grads)
   normalization     figures/normalization/...           -> fig_normalization (normalized vs not)
   nested_reparam    figures/nested_reparam/...          -> fig_nested_reparam (mirror scene grads via PRB)
+  indirect_reparam  figures/indirect_reparam/...        -> fig_indirect_reparam (primary-only vs full reparam opt)
+  limitations       figures/limitations/limitations.py  -> fig_limitations (complex thin geometry, lego)
   sdf (2-D)         figures/sdf/ + disk_tracing.py      -> fig_sdf2d (weighted 2-D trace spec)
   teaser            figures/teaser/teaser.py            -> fig_teaser (turntable of an optimized shape)
 """
@@ -312,6 +314,81 @@ def fig_nested_reparam(base, scale):
     print(f"[nested_reparam] grad_abs_mean={float(jnp.mean(jnp.abs(grad))):.2e}")
 
 
+def fig_indirect_reparam(base, scale):
+    """Secondary-gradient ablation (reference Fig. 13,
+    figures/indirect_reparam/indirect_reparam.py:23-33): reconstruct the
+    torus-shadow scene (signal = cast shadow) with primary-only
+    reparameterization (max_reparam_depth=0, 'warpprimary') vs full reparam
+    ('warp'), and the mirror-opt scene with 'warpprbprimary' vs 'warpprb'.
+    Full reparameterization of secondary (shadow / reflected) rays must
+    reach a lower final loss — the paper's Fig. 13 claim."""
+    out = _outdir(base, "indirect_reparam")
+    n_iter = 20 if scale == "small" else 96
+    res = 40 if scale == "small" else 128
+    pairs = [
+        ("torus-shadow", ["warpprimary", "warp"]),
+        ("mirror-opt", ["warpprbprimary", "warpprb"]),
+    ]
+    curves, meta, rows, row_titles = [], {}, [], []
+    palette = {"warpprimary": "#E69F00", "warp": "#0072B2",
+               "warpprbprimary": "#D55E00", "warpprb": "#56B4E9"}
+    for sc, methods in pairs:
+        for m in methods:
+            t0 = time.time()
+            r = _smoke_opt(sc, method=m, n_iter=n_iter, res=res,
+                           out_dir=os.path.join(out, f"{sc}-{m}"))
+            curves.append((f"{sc} [{m}]", palette[m],
+                           [float(v) for v in r.loss_values]))
+            meta[f"{sc}/{m}"] = {"final_loss": float(r.loss_values[-1]),
+                                 "time_s": round(time.time() - t0, 1)}
+            rows.append([_render_final(r)])
+            row_titles.append(f"{sc} {m}")
+    _loss_plot(os.path.join(out, "indirect_reparam_losses.png"), curves,
+               "primary-only vs full reparameterization")
+    _save_image_grid(os.path.join(out, "indirect_reparam.png"), rows,
+                     row_titles, ["reconstruction"])
+    json.dump(meta, open(os.path.join(out, "meta.json"), "w"), indent=1)
+    print(f"[indirect_reparam] {meta}")
+
+
+def fig_limitations(base, scale):
+    """Limitations on complex geometry (reference Fig. 16,
+    figures/limitations/limitations.py: the lego excavator at hqq keeps
+    only coarse structure).  Smoke-scale analog: reconstruct the 'lego'
+    stand-in (axis-aligned thin cube assembly) and report target vs
+    reconstruction + the loss floor — thin features below the grid/film
+    resolution are lost, the documented limitation."""
+    out = _outdir(base, "limitations")
+    n_iter = 28 if scale == "small" else 128
+    res = 48 if scale == "small" else 256
+    sdf_res = 16 if scale == "small" else 64
+    import jax.numpy as jnp
+
+    from differentiable_sdf_rendering_tpu.models.integrator import RenderConfig, render
+    from differentiable_sdf_rendering_tpu.models.scene import Scene
+    from differentiable_sdf_rendering_tpu.models.scenes_zoo import scene_rig, target_sdf
+    from differentiable_sdf_rendering_tpu.ops.sdf import GridSDF
+
+    result = _smoke_opt("lego", n_iter=n_iter, res=res, sdf_res=sdf_res,
+                        out_dir=os.path.join(out, "lego"))
+    recon = _render_final(result)
+    bsdf, emitter = scene_rig("lego")
+    tgt = Scene(
+        sdf=GridSDF.create(target_sdf("lego", 64)), bsdf=bsdf, emitter=emitter,
+        cameras=result.scene.cameras, mesh=None, area_emitter=None,
+    )
+    timg = jnp.clip(render(tgt, 0, seed=7, cfg=RenderConfig(spp=48))[..., :3], 0, 1)
+    _save_image_grid(os.path.join(out, "limitations.png"),
+                     [[timg, recon]], ["lego"], ["target", "reconstruction"])
+    _loss_plot(os.path.join(out, "losses.png"),
+               [("lego", "#0072B2", [float(v) for v in result.loss_values])],
+               "limitations: complex thin geometry")
+    json.dump({"final_loss": float(result.loss_values[-1]),
+               "first_loss": float(result.loss_values[0])},
+              open(os.path.join(out, "meta.json"), "w"), indent=1)
+    print(f"[limitations] final_loss={float(result.loss_values[-1]):.4f}")
+
+
 def fig_sdf2d(base, scale):
     """2-D executable spec of the weighted trace (reference
     figures/disk_tracing.py + figures/sdf): warp_t vs its_t along a pencil of
@@ -388,6 +465,8 @@ FIGURES = {
     "shading_gradients": fig_shading_gradients,
     "normalization": fig_normalization,
     "nested_reparam": fig_nested_reparam,
+    "indirect_reparam": fig_indirect_reparam,
+    "limitations": fig_limitations,
     "sdf2d": fig_sdf2d,
     "teaser": fig_teaser,
 }

@@ -26,15 +26,15 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 
 
 def main():
+    # Only one real chip exists in this environment: scaling runs on the
+    # virtual CPU mesh unless SCALING_TPU=1 explicitly opts into the single
+    # TPU (where only n=1 is measurable).  sitecustomize pins the axon
+    # platform, so the env var alone is not enough (utils/platform).
+    if os.environ.get("SCALING_TPU") != "1":
+        from differentiable_sdf_rendering_tpu.utils.platform import force_cpu
+
+        force_cpu(virtual_devices=8)
     import jax
-
-    try:  # prefer the local CPU backend when the remote-TPU plugin is pinned
-        from jax._src import xla_bridge as _xb
-
-        if len(jax.devices()) < 2:
-            raise RuntimeError
-    except Exception:
-        pass
 
     import numpy as np
 

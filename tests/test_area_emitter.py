@@ -152,6 +152,53 @@ def test_nee_irradiance_matches_quadrature():
     assert 0.4 * expected < got < 1.2 * expected, (got, expected)
 
 
+def test_power_proportional_selection_cuts_variance():
+    """The NEE emitter-selection mixture is power-proportional
+    (`_area_select_prob`): on a plane_area-style scene with a dim ambient
+    (0.05) and a bright panel (10), it must (a) strongly favor the panel and
+    (b) cut the per-sample estimator variance vs the old 50/50 split at
+    equal sample count, while (c) keeping the estimate unbiased."""
+    from differentiable_sdf_rendering_tpu.models.integrator import (
+        _area_select_prob,
+        _emitted_along,
+        _nee_sample,
+    )
+
+    scene = Scene.create(
+        target_sdf("block", 32),
+        emitter=ConstantEmitter.create((0.05, 0.05, 0.05)),
+        cameras=regular_cameras(1, resx=16, resy=16),
+        area_emitter=PANEL,
+    )
+    p_area = float(_area_select_prob(scene))
+    assert p_area > 0.7, p_area  # panel power ≫ ambient power
+
+    p = jnp.broadcast_to(jnp.asarray([0.5, 0.6205, 0.5]), (400_000, 3))
+    u = jax.random.uniform(jax.random.PRNGKey(1), (400_000, 2))
+    d, pdf, rad, _ = _nee_sample(scene, p, u)
+    cos_p = jnp.maximum(d[..., 1], 0.0)
+    samp = jnp.where(pdf > 0, cos_p * rad[..., 0] / jnp.maximum(pdf, 1e-12), 0.0)
+
+    # hand-built 50/50 mixture estimator on the same uniforms (the old split)
+    pick = u[..., 0] < 0.5
+    u0 = jnp.where(pick, u[..., 0] * 2.0, (u[..., 0] - 0.5) * 2.0)
+    uu = jnp.stack([u0, u[..., 1]], -1)
+    d_env, _, _ = scene.emitter.sample_direction(uu)
+    d_area, _, _, _ = scene.area_emitter.sample_from(p, uu)
+    d5 = jnp.where(pick[..., None], d_area, d_env)
+    pdf5 = 0.5 * scene.emitter.pdf_direction(d5) + 0.5 * scene.area_emitter.pdf_direction_from(p, d5)
+    rad5, _ = _emitted_along(scene, p, d5)
+    samp5 = jnp.where(
+        pdf5 > 0, jnp.maximum(d5[..., 1], 0.0) * rad5[..., 0] / jnp.maximum(pdf5, 1e-12), 0.0
+    )
+
+    # (c) same expectation (both are unbiased estimators of the irradiance)
+    np.testing.assert_allclose(float(samp.mean()), float(samp5.mean()), rtol=0.05)
+    # (b) measurable variance reduction
+    assert float(samp.var()) < 0.7 * float(samp5.var()), (
+        float(samp.var()), float(samp5.var()))
+
+
 def test_mis_consistency_plane_area():
     """NEE-only and NEE+BSDF-MIS estimators agree in expectation on the
     plane_area scene (they sample the same integral)."""

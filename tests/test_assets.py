@@ -49,3 +49,62 @@ def test_golden_render_regression():
         img = np.asarray(render(scene, 0, seed=0, cfg=cfg, mode="primal"))[..., :3]
         golden = read_exr(os.path.join(ASSET_DIR, "golden", f"{name}_direct_s0.exr"))
         np.testing.assert_allclose(img, golden, atol=5e-4, rtol=1e-3)
+
+
+def test_hdr_envmap_asset_loads_and_samples():
+    """The checked-in equirect HDR loads through GridEnvmap.from_image
+    (utils/io.read_exr wired into the emitter — the reference's image
+    envmap plugin role), its importance sampler is a normalized density,
+    and eval reproduces the sun direction."""
+    import jax
+    import jax.numpy as jnp
+
+    from differentiable_sdf_rendering_tpu.models.emitter import GridEnvmap
+
+    path = os.path.join(ASSET_DIR, "envmaps", "studio_sky.exr")
+    assert os.path.exists(path), path
+    env = GridEnvmap.from_image(path)
+    assert env.image.shape == (128, 256, 3)
+    # pdf normalization: E[1/pdf] over importance samples = 4π
+    n = 200_000
+    u = jax.random.uniform(jax.random.PRNGKey(0), (n, 2))
+    d, pdf, rad = env.sample_direction(u)
+    est = float(jnp.mean(1.0 / jnp.maximum(pdf, 1e-12)))
+    np.testing.assert_allclose(est, 4.0 * np.pi, rtol=0.05)
+    # the brightest samples cluster around the sun lobe (0.8, 0.5, 0.2)
+    sun = np.asarray([0.8, 0.5, 0.2])
+    sun = sun / np.linalg.norm(sun)
+    bright = np.asarray(rad).mean(-1) > 20.0
+    assert bright.mean() > 0.05  # importance sampling concentrates on it
+    cos = np.asarray(d)[bright] @ sun
+    assert np.median(cos) > 0.95, np.median(cos)
+
+
+def test_hdr_scene_renders_and_reconstructs():
+    """A named scene lit by the image envmap ('-hdr' variant) renders
+    sensibly and a tiny optimization on it reduces the loss (VERDICT r2 #9
+    done-criterion)."""
+    import dataclasses
+
+    from differentiable_sdf_rendering_tpu.models.scenes_zoo import scene_rig_full
+    from differentiable_sdf_rendering_tpu.models.emitter import GridEnvmap
+    from differentiable_sdf_rendering_tpu.opt.configs import get_config
+    from differentiable_sdf_rendering_tpu.opt.opt_configs import get_opt_config
+    from differentiable_sdf_rendering_tpu.opt.shape_opt import optimize_shape
+
+    rig = scene_rig_full("bunny-hdr")
+    assert isinstance(rig["emitter"], GridEnvmap)
+    scene = Scene.create(
+        target_sdf("bunny-hdr", 32), bsdf=rig["bsdf"], emitter=rig["emitter"],
+        cameras=regular_cameras(1, resx=32, resy=32),
+    )
+    img = np.asarray(render(scene, 0, seed=0,
+                            cfg=RenderConfig(integrator="sdf_direct_reparam", spp=16)))
+    assert np.isfinite(img).all() and img[..., :3].max() > 0.2
+
+    opt_cfg, _ = get_opt_config("no-tex-3", ["--resx=32", "--resy=32", "--batch_size=3"])
+    opt_cfg = dataclasses.replace(opt_cfg, sdf_res=16, upsample_iter=())
+    mc = dataclasses.replace(get_config("warp"), spp=8, primal_spp_mult=2, n_iter=10)
+    res = optimize_shape("bunny-hdr", opt_cfg, mc, output_dir=None, ref_spp=32,
+                         target_res=32, n_iter=10, verbose=False)
+    assert res.loss_values[-1] < 0.75 * res.loss_values[0], res.loss_values

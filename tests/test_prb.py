@@ -69,3 +69,122 @@ def test_prb_grad_mode_primal_matches(scene):
     a = np.asarray(render(scene, 0, seed=0, cfg=cfg, mode="primal"))
     b = np.asarray(render(scene, 0, seed=0, cfg=cfg, mode="grad"))
     np.testing.assert_allclose(a, b, atol=3e-3)
+
+
+# ---------------------------------------------------------------------------
+# Area emitters through PRB (reference sdf_prb_reparam.py:302-332 inherits
+# generic scene-emitter handling incl. area lights; VERDICT r2 item 5)
+# ---------------------------------------------------------------------------
+
+def _plane_area_scene(res=20, radius=0.22, albedo=0.8):
+    from differentiable_sdf_rendering_tpu.models.bsdf import DiffuseBSDF
+    from differentiable_sdf_rendering_tpu.models.scenes_zoo import scene_rig_full
+
+    rig = scene_rig_full("plane_area")
+    return Scene.create(
+        create_sphere_sdf(24, radius=radius),
+        bsdf=DiffuseBSDF.create(albedo=(albedo,) * 3),
+        emitter=rig["emitter"],
+        area_emitter=rig["area_emitter"],
+        cameras=regular_cameras(2, resx=res, resy=res),
+    )
+
+
+def test_prb_area_primal_matches_direct_depth2():
+    """plane_area through PRB at depth 2 estimates the same integral as the
+    direct integrator (emitted + area/env NEE at the first hit + MIS BSDF
+    continuation); means agree within MC noise."""
+    scene = _plane_area_scene()
+    cfg_prb = RenderConfig(integrator="sdf_prb_reparam", spp=48, max_depth=2)
+    cfg_dir = RenderConfig(integrator="sdf_direct_reparam", spp=48, use_mis=True)
+    # single-seed means differ by ±4% MC noise with flipping sign; average a
+    # few independent seeds to separate bias from variance
+    mp = np.mean([
+        np.asarray(render(scene, 0, seed=2 * s, cfg=cfg_prb))[..., :3].mean()
+        for s in range(3)
+    ])
+    md = np.mean([
+        np.asarray(render(scene, 0, seed=2 * s + 1, cfg=cfg_dir))[..., :3].mean()
+        for s in range(3)
+    ])
+    assert np.isfinite(mp)
+    rel = abs(mp - md) / md
+    assert rel < 0.025, (mp, md)
+
+
+def test_prb_area_silhouette_gradient_fd():
+    """FD oracle of the area-light SILHOUETTE gradient through PRB: a black
+    sphere occludes a bright panel seen by the camera (no shading terms, no
+    ambient), so the image gradient is purely the boundary term — the
+    sphere's silhouette against the emitter's front face, carried by det_k
+    on the emissive-hit radiance.  Interior NEE distance terms are
+    deliberately NOT tested against FD: the reference detaches the emitter
+    sample entirely (sdf_direct_reparam.py:40-75 incl. the explicit TODO),
+    so neither implementation differentiates them.
+    """
+    from differentiable_sdf_rendering_tpu.models.bsdf import DiffuseBSDF
+    from differentiable_sdf_rendering_tpu.models.emitter import AreaEmitter, ConstantEmitter
+
+    # vertical panel behind the sphere w.r.t. camera 0 (which looks along
+    # -x): front face (+x normal) toward the camera
+    panel = AreaEmitter.create(
+        corner=(-0.6, 0.0, 0.0), e0=(0.0, 1.0, 0.0), e1=(0.0, 0.0, 1.0),
+        radiance=(5.0, 5.0, 5.0),
+    )
+    scene = Scene.create(
+        create_sphere_sdf(24, radius=0.22),
+        bsdf=DiffuseBSDF.create(albedo=(0.0, 0.0, 0.0)),
+        emitter=ConstantEmitter.create((0.0, 0.0, 0.0)),
+        area_emitter=panel,
+        cameras=regular_cameras(2, resx=20, resy=20),
+    )
+    cfg_ad = RenderConfig(integrator="sdf_prb_reparam", spp=32, max_depth=2)
+    cfg_fd = RenderConfig(integrator="sdf_prb_reparam", spp=192, max_depth=2)
+
+    def primal_sum(p, seed):
+        img = render(_set_p(scene, p), 0, seed=seed, cfg=cfg_fd, mode="primal")
+        return jnp.sum(img[..., :3])
+
+    def grad_sum(p, seed):
+        img = render(_set_p(scene, p), 0, seed=seed, cfg=cfg_ad, mode="grad")
+        return jnp.sum(img[..., :3])
+
+    p0 = jnp.zeros(3)
+    eps = 5e-3
+    n_seeds = 2
+    g_ad = np.zeros(3)
+    fd = np.zeros(3)
+    for seed in range(n_seeds):
+        g_ad += np.asarray(jax.grad(grad_sum)(p0, seed)) / n_seeds
+        for k in range(3):
+            dp = np.zeros(3)
+            dp[k] = eps
+            fd[k] += float(
+                primal_sum(jnp.asarray(dp), seed) - primal_sum(jnp.asarray(-dp), seed)
+            ) / (2 * eps * n_seeds)
+
+    assert np.all(np.isfinite(g_ad))
+    # dominant components: sphere vs panel-extent (y) and view axis (x)
+    assert np.abs(fd[1]) > 100 and np.abs(fd[0]) > 50, (fd, g_ad)
+    for k in (0, 1):
+        assert np.sign(g_ad[k]) == np.sign(fd[k]), (fd, g_ad)
+        rel = abs(g_ad[k] - fd[k]) / abs(fd[k])
+        # the warp estimator overestimates curved-silhouette gradients
+        # ~1.3× vs FD (same magnitude as the env-background oracle and the
+        # conv-warp bias note in test_conv_warp.py) — bound the ratio, the
+        # sign, and the structure rather than asserting exact FD equality
+        assert rel < 0.45, (k, fd, g_ad)
+
+    # PRB's area-emitter boundary path must agree with the (independently
+    # FD-validated) direct integrator's AD gradient on the same scene
+    cfg_dir = RenderConfig(integrator="sdf_direct_reparam", spp=32)
+
+    def grad_sum_dir(p, seed):
+        img = render(_set_p(scene, p), 0, seed=seed, cfg=cfg_dir, mode="grad")
+        return jnp.sum(img[..., :3])
+
+    g_dir = np.zeros(3)
+    for seed in range(n_seeds):
+        g_dir += np.asarray(jax.grad(grad_sum_dir)(p0, seed)) / n_seeds
+    for k in (0, 1):
+        assert abs(g_ad[k] - g_dir[k]) / abs(g_dir[k]) < 0.15, (g_ad, g_dir)
