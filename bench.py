@@ -71,25 +71,13 @@ def main():
     sdf_data = target_sdf("bunny", grid_res)
     cam = regular_cameras(1, resx=res, resy=res).view(0)
     scene = Scene.create(sdf_data, cameras=regular_cameras(1, resx=res, resy=res))
-    # Tile-shared window tracing on primary rays (BENCH_TILE=1 for A/B).
-    # Isolated traces: plain 44 ms vs 62 untiled, warp 297 vs 346 at 262k
-    # lanes — but in the full pipeline the A/B is a wash at 70k-lane slices
-    # (797k vs 820k rays/s, r2), so tiles stay opt-in here.
-    tile_on = os.environ.get("BENCH_TILE", "0") == "1"
-    tile = min(primal_spp, 64) if tile_on else 0
-    tile_g = min(adjoint_spp, 64) if tile_on else 0
     # Build the gather tables once, outside jit, and ship them as argument
     # buffers — otherwise every slice dispatch rebuilds them in-program
     # (and a constant-captured grid would constant-fold the build into
     # 128×-padded literals: 50 GB compile OOM, device_r2b session).
-    sdf_prep = scene.sdf.prepare()
-    if tile_on:
-        sdf_prep = sdf_prep.prepare_window()
-    scene = scene.replace(sdf=sdf_prep)
-    cfg_p = RenderConfig(integrator="sdf_direct_reparam", spp=primal_spp,
-                         tile_primary=tile)
-    cfg_g = RenderConfig(integrator="sdf_direct_reparam", spp=adjoint_spp,
-                         tile_primary=tile_g)
+    scene = scene.replace(sdf=scene.sdf.prepare())
+    cfg_p = RenderConfig(integrator="sdf_direct_reparam", spp=primal_spp)
+    cfg_g = RenderConfig(integrator="sdf_direct_reparam", spp=adjoint_spp)
     b = BORDER
     pw = (res + 2 * b) * (res + 2 * b)
 
@@ -129,7 +117,6 @@ def main():
             sdf2 = scene.sdf.replace(
                 data=data,
                 stencil=None if st is None else gridops.attach_stencil(data, st),
-                window=scene.sdf.window,  # detached-only consumer
             )
             sc = scene.replace(sdf=sdf2)
             return render_lane_block(sc, cam, lane, 1, cfg_g, "grad")
@@ -253,7 +240,6 @@ def trace_variants():
     # construction to every variant anyway.
     sdf_bare = GridSDF.create(target_sdf("bunny", grid_res))
     sdf = sdf_bare.prepare()           # + stencil table (device buffer)
-    sdf_win = sdf.prepare_window()     # + 7³ tile window table
     cam = regular_cameras(1, resx=res, resy=res).view(0)
     n = res * res * spp
     lane = jnp.arange(n, dtype=jnp.uint32)
@@ -280,10 +266,10 @@ def trace_variants():
         sync(sum(jnp.ravel(r)[0] for r in outs))
         return (time.perf_counter() - t0) / reps
 
-    # Round-2 device sweep (262k lanes, 64³) found early compaction is the
-    # big lever: (4,16,128) = 62.6 ms vs default (8,64) = 338 ms per fwd
-    # trace; window+tile 64.7 ms; warp 462 ms on the old schedule.  This
-    # sweep combines the winning schedule with tile/unroll on both traces.
+    # r2/r3 device sweeps: early compaction (4,16,128) is the big lever
+    # (62.6 ms vs 338 for (8,64) per fwd trace at 262k lanes); tile-shared
+    # window tracing measured dead even once the jet contractions were
+    # fixed (r3: 65.3 vs 65.7 ms) and was DELETED (VERDICT r2 #7).
     C4 = (4, 16, 128)
     variants = {
         # throwaway: absorbs the first-timed-variant artifact (~280 ms —
@@ -293,20 +279,11 @@ def trace_variants():
         "stencil+compact4": TraceParams(compact_stages=C4),
         "stencil+compact8": TraceParams(compact_stages=(8, 64)),
         "stencil+c4+unroll2": TraceParams(compact_stages=C4, unroll=2),
-        # tile variants: `tile` = consecutive lanes sharing one 7³ window
-        # row/step.  spp = one pixel's samples; 2·spp/4·spp = 2/4 adjacent
-        # same-row pixels (~0.5 voxel apart at 128² on 64³ — inside the
-        # window's 3-voxel slack; divergent lanes escalate per-lane).
-        "window+tile+c4": TraceParams(tile=spp, compact_stages=C4),
-        "window+tile2px": TraceParams(tile=2 * spp, compact_stages=C4),
-        "window+tile4px": TraceParams(tile=4 * spp, compact_stages=C4),
+        "norefine+c4": TraceParams(compact_stages=C4, refine_intersection=False),
         "pertap+c4": None,  # stencil suppressed via bare (unprepared) path
         "overrelax+c4": TraceParams(over_relax=1.4, compact_stages=C4),
         # the grad-mode warp trace (jets + accumulators, the adjoint driver)
         "warp+c4": ("warp", TraceParams(compact_stages=C4)),
-        "warp+tile+c4": ("warp", TraceParams(tile=spp, compact_stages=C4)),
-        "warp+tile2px": ("warp", TraceParams(tile=2 * spp, compact_stages=C4)),
-        "warp+tile4px": ("warp", TraceParams(tile=4 * spp, compact_stages=C4)),
     }
     times = {}
     for name, params in variants.items():
@@ -314,8 +291,7 @@ def trace_variants():
             from differentiable_sdf_rendering_tpu.ops.trace import sphere_trace_warp
 
             p = params[1]
-            s = sdf_win if p.tile > 1 else sdf
-            dt = timed(jax.jit(lambda s, o, d, p=p: sphere_trace_warp(s, o, d, p).warp_t), s)
+            dt = timed(jax.jit(lambda s, o, d, p=p: sphere_trace_warp(s, o, d, p).warp_t), sdf)
             times[name] = round(dt * 1e3, 2)
             continue
         if name == "pertap+c4":
@@ -332,8 +308,7 @@ def trace_variants():
         elif params is None:
             continue
         else:
-            s = sdf_win if params.tile > 1 else sdf
-            dt = timed(jax.jit(lambda s, o, d, p=params: sphere_trace(s, o, d, p)), s)
+            dt = timed(jax.jit(lambda s, o, d, p=params: sphere_trace(s, o, d, p)), sdf)
         if name == "_warmup":
             continue
         times[name] = round(dt * 1e3, 2)

@@ -74,11 +74,6 @@ class RenderConfig:
     # scatter-add is row-serial).  Escape hatch for callers that hand
     # render_lane_block a non-contiguous lane set.
     dense_splat: bool = True
-    # Tile-shared window tracing for PRIMARY rays (TraceParams.tile on the
-    # depth-0 trace only): the spp samples of a pixel are tile-coherent,
-    # secondary/shadow directions are not (they would all escalate).
-    # 0 = off; typically set to the per-program samples-per-pixel.
-    tile_primary: int = 0
 
 
 def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None, maxt=jnp.inf,
@@ -102,16 +97,6 @@ def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None, m
         refine_active = ~occlusion
     elif occlusion and cfg.trace.refine_intersection:
         cfg = dataclasses.replace(cfg, trace=dataclasses.replace(cfg.trace, refine_intersection=False))
-    if cfg.tile_primary > 1 and depth == 0 and cfg.trace.tile == 0:
-        # Primary rays are pixel-tile-coherent; deeper bounces/shadow rays
-        # are not (they would pay the window attempt then escalate).
-        # Mode split (r2 device sweep, 262k lanes): the NON-DIFF trace's
-        # lockstep-min stepping keeps 4-adjacent-pixel tiles coherent
-        # (44 ms vs 60 for 1-pixel tiles), while the warp trace steps
-        # per-lane and diverges across pixels (297 ms at 1 px vs 403 at
-        # 4 px) — so plain traces get 4× wider tiles than warp traces.
-        tile = cfg.tile_primary if mode != "primal" and cfg.use_warp else 4 * cfg.tile_primary
-        cfg = dataclasses.replace(cfg, trace=dataclasses.replace(cfg.trace, tile=tile))
     reparam = mode != "primal" and cfg.use_warp and cfg.warp_kind != "dummy"
     if reparam and cfg.warp.max_reparam_depth >= 0 and depth > cfg.warp.max_reparam_depth:
         reparam = False

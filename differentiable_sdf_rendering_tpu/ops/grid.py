@@ -32,15 +32,11 @@ __all__ = [
     "bspline_weights",
     "attach_stencil",
     "build_stencil",
-    "build_window",
     "grid_eval",
     "grid_eval_grad",
     "grid_eval_all",
     "grid_eval_trilinear",
     "stencil_ok",
-    "window_base_setup",
-    "window_eval_value",
-    "window_ok",
 ]
 
 
@@ -177,160 +173,6 @@ def _attach_stencil_bwd(shape, dtable):
 
 
 attach_stencil.defvjp(_attach_stencil_fwd, _attach_stencil_bwd)
-
-
-# Tile-shared 7³ window tables (ops/trace tile trace): 343 floats/row is a
-# 343× memory blow-up over the grid — 412 MB at 64³, gate off above that.
-_WINDOW_MAX_VOXELS = (64 + 3) ** 3 + 1
-
-
-def window_ok(data) -> bool:
-    """Whether a 7³ window table for this grid fits the HBM budget."""
-    z, y, x = data.shape[-3], data.shape[-2], data.shape[-1]
-    return (z + 3) * (y + 3) * (x + 3) <= _WINDOW_MAX_VOXELS
-
-
-def build_window(data: jnp.ndarray) -> jnp.ndarray:
-    """Window table: every 7×7×7 tap block as ONE contiguous 343-float row.
-
-    TPU-native gather amortization for *tile-coherent* queries (the samples
-    of one pixel trace within sub-voxel of each other): XLA's TPU gather
-    cost scales with the ROW count, so one 7³ row shared by a 16-lane tile
-    replaces 16 stencil rows — the taps of every lane whose 4³ support base
-    lies within [B, B+3] of the tile base B.  Row r = taps
-    ``padded[B-1 .. B+5]`` for ``B = clip(base) ∈ [-2, dim]`` (row index =
-    B+2 per axis), so per-lane tap windows are recovered with the shifted
-    7-wide weights of :func:`window_eval_value` — bit-identical tap values
-    to the stencil path.
-    """
-    # Detached by design: the window table is only consumed by the
-    # DETACHED tile traces (ops/trace), and letting autodiff linearize a
-    # 343-slice build would materialize catastrophically padded tangent
-    # temps (see build_stencil's custom_vjp note).
-    data = jax.lax.stop_gradient(data)
-    z, y, x = data.shape[-3], data.shape[-2], data.shape[-1]
-    # high-side pad 6: the last tap's slice starts at offset 7 and spans
-    # dim+3 — anything less and dynamic_slice silently clamps the start
-    padded = jnp.pad(data, ((4, 6), (4, 6), (4, 6)), mode="edge")
-    # See build_stencil: block constant folding of the 343 slices (each
-    # would become a 128×-padded literal — 50 GB at 64³).
-    padded = jax.lax.optimization_barrier(padded)
-    cols = []
-    for a in range(7):
-        for b in range(7):
-            for c in range(7):
-                # window[B+2][a,b,c] = data[clip(B-1+a)] = padded[B+3+a]
-                # with row index i = B+2: padded[i+1+a]
-                cols.append(
-                    jax.lax.dynamic_slice(
-                        padded, (a + 1, b + 1, c + 1), (z + 3, y + 3, x + 3)
-                    ).reshape(-1)
-                )
-    # Leading-axis stack + transpose behind a barrier — see build_stencil
-    # (the axis=-1 form concatenates (N, 1) operands padded 128× by the
-    # TPU tile, and transpose-folding would recreate it).
-    return jax.lax.optimization_barrier(jnp.stack(cols, axis=0)).T
-
-
-def window_base_setup(data: jnp.ndarray, p: jnp.ndarray):
-    """Per-lane clipped stencil base + fraction for window evaluation.
-
-    Identical base/fraction math to :func:`_tap_setup`'s stencil branch.
-    Returns ``(base (..., 3) int32 in [-2, dim], f (..., 3))``.
-    """
-    zres, yres, xres = data.shape[-3], data.shape[-2], data.shape[-1]
-    res = jnp.asarray([xres, yres, zres], dtype=p.dtype)
-    c = p * res - 0.5
-    base = jnp.floor(c)
-    f = c - base
-    base = base.astype(jnp.int32)
-    dims = jnp.asarray([xres, yres, zres], jnp.int32)
-    return jnp.clip(base, -2, dims), f
-
-
-def _shift7(w4: jnp.ndarray, o: jnp.ndarray) -> jnp.ndarray:
-    """Zero-padded shift: ``w7[k] = w4[k - o]`` for per-lane ``o ∈ [0, 3]``.
-
-    Branch-free (4 masked broadcasts); out-of-range o yields all-zero
-    contributions for the shifted-out taps.
-    """
-    k = jnp.arange(7, dtype=jnp.int32)
-    w7 = jnp.zeros(w4.shape[:-1] + (7,), w4.dtype)
-    for j in range(4):
-        w7 = w7 + jnp.where(k == (o[..., None] + j), w4[..., j : j + 1], 0.0)
-    return w7
-
-
-def window_eval_value(rows: jnp.ndarray, o: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
-    """Cubic B-spline value from a shared 7³ window row.
-
-    Args:
-      rows: (..., 343) window rows (z-major like the stencil layout).
-      o: (..., 3) integer offset of the lane's stencil base within the
-        window base, each component in [0, 3].
-      f: (..., 3) per-lane fractional coordinate.
-
-    Returns the same value the stencil/per-tap path computes for this lane
-    (the 4³ support is embedded in the 7³ window at offset ``o``).
-    """
-    taps = rows.reshape(rows.shape[:-1] + (7, 7, 7))
-    wx = _shift7(bspline_weights(f[..., 0])[0], o[..., 0])
-    wy = _shift7(bspline_weights(f[..., 1])[0], o[..., 1])
-    wz = _shift7(bspline_weights(f[..., 2])[0], o[..., 2])
-    (value,) = _jet_contract7(taps, (wx,), (wy,), (wz,), [(0, 0, 0)])
-    return value
-
-
-def _jet_contract7(taps, wxs, wys, wzs, orders):
-    """:func:`_jet_contract` for the 7³ window layout (see that docstring
-    for why these contractions must stay elementwise on TPU)."""
-    outs = []
-    for ox, oy, oz in orders:
-        w = (
-            wzs[oz][..., :, None, None]
-            * wys[oy][..., None, :, None]
-            * wxs[ox][..., None, None, :]
-        )
-        outs.append(jnp.sum((taps * w).reshape(taps.shape[:-3] + (343,)), axis=-1))
-    return outs
-
-
-def window_eval_all(rows: jnp.ndarray, o: jnp.ndarray, f: jnp.ndarray, res):
-    """Full jet (value, grad, hessian) from a shared 7³ window row —
-    :func:`grid_eval_all` with the window's shifted 7-wide weights.
-
-    ``res``: (3,) grid resolution (x, y, z) for the normalized-coordinate
-    chain factors.  Tap values are bit-identical to the stencil path.
-    """
-    taps = rows.reshape(rows.shape[:-1] + (7, 7, 7))
-    wx4, dwx4, ddwx4 = bspline_weights(f[..., 0])
-    wy4, dwy4, ddwy4 = bspline_weights(f[..., 1])
-    wz4, dwz4, ddwz4 = bspline_weights(f[..., 2])
-    wxs = tuple(_shift7(w, o[..., 0]) for w in (wx4, dwx4, ddwx4))
-    wys = tuple(_shift7(w, o[..., 1]) for w in (wy4, dwy4, ddwy4))
-    wzs = tuple(_shift7(w, o[..., 2]) for w in (wz4, dwz4, ddwz4))
-    value, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz = _jet_contract7(
-        taps, wxs, wys, wzs,
-        [
-            (0, 0, 0),
-            (1, 0, 0), (0, 1, 0), (0, 0, 1),
-            (2, 0, 0), (0, 2, 0), (0, 0, 2),
-            (1, 1, 0), (1, 0, 1), (0, 1, 1),
-        ],
-    )
-    rx, ry, rz = res[0], res[1], res[2]
-    grad = jnp.stack([gx * rx, gy * ry, gz * rz], axis=-1)
-    hxx = hxx * (rx * rx)
-    hyy = hyy * (ry * ry)
-    hzz = hzz * (rz * rz)
-    hxy = hxy * (rx * ry)
-    hxz = hxz * (rx * rz)
-    hyz = hyz * (ry * rz)
-    row_x = jnp.stack([hxx, hxy, hxz], axis=-1)
-    row_y = jnp.stack([hxy, hyy, hyz], axis=-1)
-    row_z = jnp.stack([hxz, hyz, hzz], axis=-1)
-    hess = jnp.stack([row_x, row_y, row_z], axis=-2)
-    return value, grad, hess
 
 
 def bspline_weights(f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -66,13 +66,6 @@ class TraceParams:
     # level (~3e-5 rel), which the warp_t_d cancellation can amplify to
     # ~1% on near-surface lanes — far inside the estimator's FD tolerance.
     unroll: int = 1
-    # Tile-shared window tracing (ops/trace._tile_trace): trace in lockstep
-    # tiles of `tile` consecutive lanes (the spp samples of one pixel),
-    # fetching ONE shared 7³ grid window per tile per step instead of one
-    # stencil row per lane — up to `tile`× fewer gather rows, the dominant
-    # TPU trace cost.  Requires tile-coherent lanes (same-pixel samples);
-    # 0 = off.  Opt-in pending device A/B (BENCH_TRACE=1 variants).
-    tile: int = 0
 
 
 @struct.dataclass
@@ -88,7 +81,6 @@ class GridSDF:
     data: jnp.ndarray
     p: jnp.ndarray
     stencil: jnp.ndarray | None = None  # build_stencil(data) cache (see prepare())
-    window: jnp.ndarray | None = None   # build_window(data) cache (tile trace)
 
     @classmethod
     def create(cls, data, p=None):
@@ -115,20 +107,11 @@ class GridSDF:
             return self.replace(stencil=None)
         return self.replace(stencil=gridops.build_stencil(self.data))
 
-    def prepare_window(self):
-        """Cache the 7³ tile window table (ops/grid.build_window) for the
-        tile-shared trace.  No-op for grids over the 343× memory budget."""
-        if not gridops.window_ok(self.data):
-            return self.replace(window=None)
-        return self.replace(window=gridops.build_window(self.data))
-
     def with_data(self, data):
-        """Replace the grid, keeping the derived-table caches coherent."""
-        out = self.replace(data=data, stencil=None, window=None)
+        """Replace the grid, keeping the derived-table cache coherent."""
+        out = self.replace(data=data, stencil=None)
         if self.stencil is not None:
             out = out.prepare()
-        if self.window is not None:
-            out = out.prepare_window()
         return out
 
     @property

@@ -145,45 +145,6 @@ def _staged_while(body, state, consts, stages=(8, 64), unroll=1, depth=0):
     return run(state, consts, 0)
 
 
-def _staged_while_tiles(body, state, consts, stages=(8, 64)):
-    """:func:`_staged_while` at TILE granularity: leaves are (T, K, ...)
-    with per-lane boolean ``active`` (T, K); whole tiles are compacted
-    (a tile retires when all its lanes do).  Same bit-identical-reordering
-    contract as the lane version."""
-    n = state["active"].shape[0]
-
-    def tile_alive(s):
-        return jnp.any(s["active"], axis=1)  # (T,)
-
-    def run(state, consts, stop_count):
-        def cond(s):
-            return jnp.sum(tile_alive(s)) > stop_count
-
-        return jax.lax.while_loop(cond, lambda s: body(s, consts), state)
-
-    def take(a, idx):
-        fill = False if a.dtype == jnp.bool_ else 0
-        return jnp.take(a, idx, axis=0, mode="fill", fill_value=fill)
-
-    for ratio in stages:
-        m = n // ratio
-        if m < 16:  # tiles are K lanes each; small buffers aren't worth it
-            break
-        state = run(state, consts, m)
-        idx = jnp.flatnonzero(tile_alive(state), size=m, fill_value=n)
-        sub_state = jax.tree_util.tree_map(lambda a: take(a, idx), state)
-        sub_consts = jax.tree_util.tree_map(lambda a: take(a, idx), consts)
-        sub_state = _staged_while_tiles(
-            body, sub_state, sub_consts,
-            stages=tuple(r // ratio for r in stages if r > ratio),
-        )
-        state = jax.tree_util.tree_map(
-            lambda full, sub: full.at[idx].set(sub, mode="drop"), state, sub_state
-        )
-        return state
-    return run(state, consts, 0)
-
-
 def _ray_setup(sdf, o, d, params: TraceParams, maxt):
     """Shared entry logic: normalize, clip to the (expanded) SDF bbox.
 
@@ -206,81 +167,6 @@ def _ray_setup(sdf, o, d, params: TraceParams, maxt):
     return d, (bmin, bmax), hit, inside, t0, maxt, trace_eps
 
 
-def _tile_trace(sdf, o, d, params: TraceParams, maxt, active0, t0, trace_eps):
-    """Lockstep tile trace: one shared 7³ window gather per tile per step.
-
-    TPU gather cost is row-bound, so the per-lane stencil row is the trace
-    loop's dominant cost.  The ``tile`` consecutive lanes of one pixel stay
-    within sub-voxel of each other when stepped in lockstep (every active
-    lane advances by the tile-min conservative step — still a valid sphere
-    trace: steps ≤ the SDF bound can never cross the surface undetected),
-    so ONE window row per tile serves all their tap supports
-    (ops/grid.build_window), cutting gather rows ~``tile``×.
-
-    Returns ``(its_t, escalate)``: lanes whose tap support left the shared
-    window (tile spread > 3 voxels — possible only for extreme
-    direction/depth spreads) come back with ``escalate=True`` and must be
-    re-traced by the caller on the per-lane path.  Everything else carries
-    the ordinary contract (its_t = first t with f < ε, inf = miss).
-    """
-    from .grid import window_base_setup, window_eval_value
-
-    k = params.tile
-    n = t0.shape[0]
-    tiles = n // k
-    data, p = sdf.data, sdf.p
-    zres, yres, xres = data.shape[-3], data.shape[-2], data.shape[-1]
-
-    def shp(a):  # lane vectors → (tiles, k)
-        return a.reshape((tiles, k) + a.shape[1:])
-
-    scale = params.step_scale
-
-    def body(s, c):
-        act, t, its_t, esc, i = s["active"], s["t"], s["its_t"], s["esc"], s["i"]
-        x = c["o"] + t[..., None] * c["d"] - p
-        b, f = window_base_setup(data, x)  # (T, k, 3) int, frac
-        big = jnp.int32(1 << 20)
-        bb = jnp.where(act[..., None], b, big)
-        B = jnp.min(bb, axis=1)  # (T, 3) tile base
-        B = jnp.clip(B, -2, jnp.asarray([xres, yres, zres], jnp.int32))
-        off = b - B[:, None, :]
-        viol = act & jnp.any((off < 0) | (off > 3), axis=-1)
-        lin = ((B[:, 2] + 2) * (yres + 3) + (B[:, 1] + 2)) * (xres + 3) + (B[:, 0] + 2)
-        rows = jnp.take(sdf.window, lin, axis=0)  # (T, 343)
-        fv = window_eval_value(rows[:, None, :], jnp.clip(off, 0, 3), f) * scale
-
-        hit = fv < c["trace_eps"]
-        ok = act & ~viol
-        its_t = jnp.where(ok & hit, t, its_t)
-        esc = esc | viol
-        act = ok & ~hit
-        # lockstep: every active lane advances by the tile-min distance
-        # bound (a conservative, therefore valid, sphere-trace step)
-        step = jnp.min(jnp.where(act, jnp.abs(fv), jnp.inf), axis=1, keepdims=True)
-        step = jnp.where(jnp.isfinite(step), step, 0.0)
-        t_new = jnp.where(act, t + step, t)
-        act = act & (t_new <= c["maxt"]) & (i + 1 < params.max_steps)
-        return {"active": act, "t": t_new, "its_t": its_t, "esc": esc, "i": i + 1}
-
-    state = {
-        "active": shp(active0),
-        "t": shp(t0),
-        "its_t": shp(jnp.full_like(t0, _INF)),
-        "esc": shp(jnp.zeros_like(active0)),
-        "i": jnp.zeros((tiles, k), jnp.int32),
-    }
-    consts = {
-        "o": shp(o),
-        "d": shp(d),
-        "maxt": shp(maxt),
-        "trace_eps": shp(jnp.broadcast_to(trace_eps, t0.shape)),
-    }
-
-    s = _staged_while_tiles(body, state, consts, params.compact_stages)
-    return s["its_t"].reshape(n), s["esc"].reshape(n)
-
-
 def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, active=True,
                  refine_active=True):
     """Non-differential sphere trace → intersection distance (N,), inf = miss.
@@ -297,28 +183,6 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
     maxt = jnp.broadcast_to(jnp.asarray(maxt, o.dtype), o.shape[:-1])
     d, _, hit, _, t0, maxt, trace_eps = _ray_setup(sdf, o, d, params, maxt)
     active0 = jnp.broadcast_to(jnp.asarray(active, bool), t0.shape) & hit
-
-    use_tile = (
-        params.tile > 1
-        and params.over_relax == 1.0
-        and t0.ndim == 1
-        and t0.shape[0] % params.tile == 0
-        and isinstance(sdf, GridSDF)
-    )
-    if use_tile:
-        from .grid import window_ok
-
-        if sdf.window is None and window_ok(sdf.data):
-            sdf = sdf.prepare_window()
-        use_tile = sdf.window is not None
-    if use_tile:
-        tile_its_t, esc = _tile_trace(sdf, o, d, params, maxt, active0, t0, trace_eps)
-        # Lanes whose tap support left the shared window (tile spread > 3
-        # voxels) re-trace on the per-lane stencil path below; with no such
-        # lanes that loop's cond is False on entry and it costs ~nothing.
-        active0 = esc
-    else:
-        tile_its_t, esc = None, None
 
     scale = params.step_scale
     relax = params.over_relax
@@ -383,8 +247,6 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
     consts = {"o": o, "d": d, "maxt": maxt, "trace_eps": trace_eps}
     its_t = _staged_while(body, state, consts, params.compact_stages,
                           unroll=params.unroll)["its_t"]
-    if tile_its_t is not None:
-        its_t = jnp.where(esc, its_t, tile_its_t)
 
     if params.refine_intersection:
         its_t = _refine(sdf, o, d, its_t, trace_eps, params, refine_active)
@@ -501,32 +363,6 @@ def sphere_trace_warp(
         0.0,
     )
 
-    # Tile-shared window tracing (see _tile_trace): ONE 7³ window row per
-    # pixel tile per step feeds the full jet, cutting gather rows ~tile×.
-    # Unlike the non-diff tile trace, stepping stays FREE per lane — the
-    # warp accumulators are quadratures over the trace trajectory, and
-    # changing the node distribution (e.g. lockstep-min) measurably shifts
-    # weight_sum (the clamp-multiplier input, 1.6× at silhouettes) and
-    # with it the estimator.  Instead, lanes keep their exact reference
-    # trajectories; a lane whose tap support leaves the shared window
-    # (tiles diverge near silhouettes/hits) escalates and is re-traced on
-    # the per-lane path — identical values either way, so the tile option
-    # changes PERFORMANCE only, never the estimator.
-    use_tile = (
-        params.tile > 1
-        and t0.ndim == 1
-        and t0.shape[0] % params.tile == 0
-        and isinstance(sdf, GridSDF)
-    )
-    if use_tile:
-        from .grid import window_ok
-
-        if sdf.window is None and window_ok(sdf.data):
-            sdf = sdf.prepare_window()
-        use_tile = sdf.window is not None
-    tile_k = params.tile if use_tile else 1
-    n_tiles = t0.shape[0] // tile_k if use_tile else 0
-
     scale = params.step_scale
     use_extra = params.use_extra_weight
     zero3 = jnp.zeros_like(d)
@@ -535,38 +371,13 @@ def sphere_trace_warp(
         # spatial gradient → gradient w.r.t. ray direction (shapes.py:126-127)
         return t[..., None] * in_d + dot(d, in_d)[..., None] * t_d
 
-    def _window_jet(x, act):
-        """Shared-window jet + window-violation mask (tile mode)."""
-        from .grid import window_base_setup, window_eval_all
-
-        data, p = sdf.data, sdf.p
-        zres, yres, xres = data.shape[-3], data.shape[-2], data.shape[-1]
-        b, fr = window_base_setup(data, x - p)
-        big = jnp.int32(1 << 20)
-        bb = jnp.where(act[..., None], b, big)
-        B = jnp.min(bb, axis=1)
-        B = jnp.clip(B, -2, jnp.asarray([xres, yres, zres], jnp.int32))
-        off = b - B[:, None, :]
-        viol = act & jnp.any((off < 0) | (off > 3), axis=-1)
-        lin = ((B[:, 2] + 2) * (yres + 3) + (B[:, 1] + 2)) * (xres + 3) + (B[:, 0] + 2)
-        rows = jnp.take(sdf.window, lin, axis=0)
-        res = jnp.asarray([xres, yres, zres], x.dtype)
-        f, g, h = window_eval_all(rows[:, None, :], jnp.clip(off, 0, 3), fr, res)
-        return f, g, h, viol
-
     def body(s, c):
         o, d, maxt, trace_eps = c["o"], c["d"], c["maxt"], c["trace_eps"]
         act = s["active"]
         act3 = act[..., None]
         t = s["t"]
         x = o + t[..., None] * d
-        if use_tile:
-            f, g, h, viol = _window_jet(x, act)
-            s = dict(s, esc=s["esc"] | viol)
-            act = act & ~viol
-            act3 = act[..., None]
-        else:
-            f, g, h = sdf.eval_all(x)
+        f, g, h = sdf.eval_all(x)
         f, g, h = f * scale, g * scale, h * scale
 
         intersected = f < trace_eps
@@ -642,8 +453,6 @@ def sphere_trace_warp(
             "extra_weight_sum": jnp.where(act, ew_sum, s["extra_weight_sum"]),
             "extra_weight_sum_d": jnp.where(act3, ew_sum_d, s["extra_weight_sum_d"]),
         }
-        if use_tile:
-            out["esc"] = s["esc"]
         return out
 
     state = {
@@ -667,21 +476,8 @@ def sphere_trace_warp(
     # *superlinear* in batch size (the straggler tail grows with n).  Pure
     # lane reordering: per-lane values are bit-identical.
     consts = {"o": o, "d": d, "maxt": maxt, "trace_eps": trace_eps}
-    if use_tile:
-        def shp(a):
-            return a.reshape((n_tiles, tile_k) + a.shape[1:])
-
-        state["esc"] = jnp.zeros_like(active0)
-        state = jax.tree_util.tree_map(shp, state)
-        consts = jax.tree_util.tree_map(shp, consts)
-        s = _staged_while_tiles(body, state, consts, params.compact_stages)
-        n_lanes = n_tiles * tile_k
-        s = {k: v.reshape((n_lanes,) + v.shape[2:]) for k, v in s.items()}
-        esc = s["esc"]
-    else:
-        s = _staged_while(body, state, consts, params.compact_stages,
-                          unroll=params.unroll)
-        esc = None
+    s = _staged_while(body, state, consts, params.compact_stages,
+                      unroll=params.unroll)
 
     its_t = s["its_t"]
     if params.refine_intersection:
@@ -710,7 +506,7 @@ def sphere_trace_warp(
     warp_weight = jnp.where(invalid, 0.0, warp_weight)
     warp_weight_d = jnp.where(invalid[..., None], 0.0, warp_weight_d)
 
-    result = TraceResult(
+    return TraceResult(
         its_t=its_t,
         warp_t=warp_t,
         warp_t_d=warp_t_d,
@@ -719,17 +515,3 @@ def sphere_trace_warp(
         num_steps=s["i"],
         weight_sum=weight_sum,
     )
-    if esc is not None:
-        # Lanes whose tap support left the shared window re-trace on the
-        # per-lane path (costs ~nothing when none escalated: the loop's
-        # cond is immediately false) and override the tiled values.
-        import dataclasses as _dc
-
-        redo = sphere_trace_warp(
-            sdf, o, d, _dc.replace(params, tile=0), maxt=maxt, active=esc
-        )
-        result = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(esc.reshape(esc.shape + (1,) * (a.ndim - 1)), a, b),
-            redo, result,
-        )
-    return result

@@ -46,6 +46,7 @@ from . import losses as losses_mod
 from .adam import adam_init, adam_step
 from .configs import BaseConfig
 from .opt_configs import SdfConfig
+from ..ops.grid import stencil_ok as gridops_stencil_ok
 from .regularizations import discrete_laplacian_reg
 from .variables import SdfVariableSpec, ema_update
 
@@ -110,10 +111,24 @@ def _attach_tables() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def _build_scene(base: Scene, params: dict) -> Scene:
-    sdf = base.sdf.with_data(params["sdf"])
-    if _attach_tables():
-        sdf = sdf.prepare()  # self-gates on grid size (gridops.stencil_ok)
+def _build_scene(base: Scene, params: dict, sdf_table=None) -> Scene:
+    if sdf_table is not None:
+        # Attach the PREBUILT (eagerly built, between steps) stencil table:
+        # building it in-jit under the step's remat scans materializes the
+        # slice/stack construction with (N, 1) operands padded 128× by the
+        # TPU tile — 69.8 GB of HLO temps at 128³ (observed compile OOM,
+        # r3 iter bench).  attach_stencil routes d/dtable into d/ddata via
+        # the hand-written transpose, so gradients are identical.
+        from ..ops import grid as gridops
+
+        sdf = base.sdf.replace(
+            data=params["sdf"],
+            stencil=gridops.attach_stencil(params["sdf"], sdf_table),
+        )
+    else:
+        sdf = base.sdf.with_data(params["sdf"])
+        if _attach_tables():
+            sdf = sdf.prepare()  # self-gates on grid size (gridops.stencil_ok)
     bsdf = base.bsdf
     if "albedo" in params:
         if hasattr(bsdf, "base_color_tex"):
@@ -184,7 +199,7 @@ def _render_view_sharded(scene, cam, seed, cfg: RenderConfig, mode, n_chunks, ra
 
 
 def _view_batch_loss_grads(
-    params, base, view_indices, seeds, seeds_grad, refs,
+    params, base, view_indices, seeds, seeds_grad, refs, sdf_table=None,
     *, loss_name, cfg_primal, cfg_grad, batch, render_chunks, mesh,
 ):
     """Loss + parameter gradients of a strided view batch — the SPMD core of
@@ -196,19 +211,22 @@ def _view_batch_loss_grads(
     /root/reference/python/shape_opt.py:77-86)."""
     loss_fn = _LOSSES[loss_name]
 
-    def one_view(params_a, base_a, vidx, seed_p, seed_g, ref, render_view, grad_backprop):
+    def one_view(params_a, base_a, table_a, vidx, seed_p, seed_g, ref, render_view, grad_backprop):
         cam = base_a.cameras.view(vidx)
-        scene_det = _build_scene(jax.lax.stop_gradient(base_a), jax.lax.stop_gradient(params_a))
+        scene_det = _build_scene(
+            jax.lax.stop_gradient(base_a), jax.lax.stop_gradient(params_a),
+            jax.lax.stop_gradient(table_a) if table_a is not None else None,
+        )
         # chunking bounds the live wavefront (lax.scan over lane chunks with
         # a rematerialized body) — required for hq/hqq film sizes on single
         # chips (CLAUDE.md: HBM limits); bit-compatible up to float
         # accumulation order.
         img_p = render_view(scene_det, cam, seed_p, cfg_primal, "primal")[..., :3]
         lval, dimg = jax.value_and_grad(lambda im: loss_fn(im, ref) / batch)(img_p)
-        gp = grad_backprop(params_a, base_a, cam, seed_g, dimg)
+        gp = grad_backprop(params_a, base_a, table_a, cam, seed_g, dimg)
         return lval, gp
 
-    def scan_views(params_a, base_a, vis, sps, sgs, rfs, render_view, grad_backprop):
+    def scan_views(params_a, base_a, table_a, vis, sps, sgs, rfs, render_view, grad_backprop):
         # ONE copy of the render+vjp program regardless of batch size (the
         # reference re-dispatches per sensor; the scan keeps compile time
         # and live memory independent of the batch).
@@ -217,7 +235,8 @@ def _view_batch_loss_grads(
             loss_acc, grads_acc = carry
             vidx, seed_p, seed_g, ref = xs
             lval, gp = one_view(
-                params_a, base_a, vidx, seed_p, seed_g, ref, render_view, grad_backprop
+                params_a, base_a, table_a, vidx, seed_p, seed_g, ref,
+                render_view, grad_backprop
             )
             return (loss_acc + lval, jax.tree_util.tree_map(jnp.add, grads_acc, gp)), None
 
@@ -234,16 +253,17 @@ def _view_batch_loss_grads(
         def render_view(scene, cam, seed, cfg, mode):
             return render_chunked(scene, seed=seed, cfg=cfg, mode=mode, camera=cam, n_chunks=render_chunks)
 
-        def grad_backprop(params_a, base_a, cam, seed_g, dimg):
+        def grad_backprop(params_a, base_a, table_a, cam, seed_g, dimg):
             def rfun(p):
-                return render_view(_build_scene(base_a, p), cam, seed_g, cfg_grad, "grad")[..., :3]
+                return render_view(_build_scene(base_a, p, table_a), cam, seed_g, cfg_grad, "grad")[..., :3]
 
             _, vjp = jax.vjp(rfun, params_a)
             (gp,) = vjp(dimg)
             return gp
 
         return scan_views(
-            params, base, view_indices, seeds, seeds_grad, refs, render_view, grad_backprop
+            params, base, sdf_table, view_indices, seeds, seeds_grad, refs,
+            render_view, grad_backprop
         )
 
     n_vg = mesh.shape["views"]
@@ -260,7 +280,7 @@ def _view_batch_loss_grads(
     def render_view(scene, cam, seed, cfg, mode):
         return _render_view_sharded(scene, cam, seed, cfg, mode, render_chunks, "rays", n_rs)
 
-    def grad_backprop(params_a, base_a, cam, seed_g, dimg):
+    def grad_backprop(params_a, base_a, table_a, cam, seed_g, dimg):
         # The differentiated function must contain NO collectives (psum's
         # transpose under check_vma=False is another psum — it would
         # multiply the cotangent by the shard count).  Chain manually:
@@ -271,7 +291,7 @@ def _view_batch_loss_grads(
 
         def block_fn(p):
             return _local_lane_block(
-                _build_scene(base_a, p), cam, seed_g, cfg_grad, "grad",
+                _build_scene(base_a, p, table_a), cam, seed_g, cfg_grad, "grad",
                 render_chunks, "rays", n_rs,
             )
 
@@ -288,13 +308,14 @@ def _view_batch_loss_grads(
     # rejects; in_specs-passed arrays are resharded cleanly.
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(), P("views"), P("views"), P("views"), P("views")),
+        in_specs=(P(), P(), P(), P("views"), P("views"), P("views"), P("views")),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run(params_a, base_a, vis, sps, sgs, rfs):
+    def run(params_a, base_a, table_a, vis, sps, sgs, rfs):
         loss, grads = scan_views(
-            params_a, base_a, vis[0], sps[0], sgs[0], rfs[0], render_view, grad_backprop
+            params_a, base_a, table_a, vis[0], sps[0], sgs[0], rfs[0],
+            render_view, grad_backprop
         )
         # loss is replicated across 'rays' (each ray shard sees the full
         # psum'ed film); grads are partial per ray shard AND per view group.
@@ -302,7 +323,7 @@ def _view_batch_loss_grads(
         grads = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, ("views", "rays")), grads)
         return loss, grads
 
-    return run(params, base, vi, sp, sg, rf)
+    return run(params, base, sdf_table, vi, sp, sg, rf)
 
 
 @functools.partial(jax.jit, static_argnames=("loss_name", "cfg_primal", "cfg_grad", "batch", "specs", "base_treedef", "mask_updates", "render_chunks", "mesh"))
@@ -316,6 +337,7 @@ def _train_step(
     seeds_grad,
     refs,
     lrs,
+    sdf_table=None,
     *,
     base_treedef,
     loss_name,
@@ -331,7 +353,7 @@ def _train_step(
     spec_by_key = {s.key: s for s in specs}
 
     total_loss, grads = _view_batch_loss_grads(
-        params, base, view_indices, seeds, seeds_grad, refs,
+        params, base, view_indices, seeds, seeds_grad, refs, sdf_table,
         loss_name=loss_name, cfg_primal=cfg_primal, cfg_grad=cfg_grad,
         batch=batch, render_chunks=render_chunks, mesh=mesh,
     )
@@ -455,19 +477,6 @@ def optimize_shape(
 
     from ..ops.warp_conv import ConvWarpConfig
 
-    # Tile-shared window tracing on depth-0 traces.  Isolated-trace device
-    # numbers favor tiles (plain 44 ms vs 62, warp 297 vs 346 at 262k
-    # lanes) but the full-pipeline A/B at production slice widths was a
-    # wash (797k vs 820k rays/s, r2) — so tiles are opt-in via
-    # DSDF_TILE_PRIMARY=1 until a pipeline-level win is demonstrated.
-    # TPU only; self-gating: grids > 64³ have no window table
-    # (ops/grid.window_ok) and non-pixel-major wavefronts fall back.
-    _on_tpu = jax.devices()[0].platform == "tpu"
-    _tiles_on = _on_tpu and os.environ.get("DSDF_TILE_PRIMARY", "0") == "1"
-
-    def _tile(spp):
-        return min(spp, 64) if _tiles_on else 0
-
     cfg_grad = RenderConfig(
         integrator=method_cfg.integrator,
         spp=method_cfg.spp,
@@ -480,12 +489,10 @@ def optimize_shape(
             kappa=method_cfg.conv_kappa,
             power=method_cfg.conv_power,
         ),
-        tile_primary=_tile(method_cfg.spp),
     )
     cfg_primal = dataclasses.replace(
         cfg_grad,
         spp=method_cfg.spp * method_cfg.primal_spp_mult,
-        tile_primary=_tile(method_cfg.spp * method_cfg.primal_spp_mult),
     )
 
     if output_dir:
@@ -535,6 +542,16 @@ def optimize_shape(
                     lrs[s.key] = s.lr_for(method_cfg.learning_rate, i)
 
             base_leaves, base_treedef = jax.tree_util.tree_flatten(base)
+            # Eager (op-by-op) stencil-table build between steps: the table
+            # must track the updated grid, and building it INSIDE the jitted
+            # step under the remat scans compile-OOMs at 128³ (69.8 GB of
+            # 128×-padded slice operands — see _build_scene).  ~ms per
+            # iteration, amortized over a multi-second step.
+            sdf_table = None
+            if _attach_tables() and gridops_stencil_ok(params["sdf"]):
+                from ..ops.grid import build_stencil
+
+                sdf_table = build_stencil(params["sdf"])
             params, adam_state, ema, loss = _train_step(
                 params,
                 adam_state,
@@ -545,6 +562,7 @@ def optimize_shape(
                 jnp.asarray(seeds_grad),
                 refs,
                 lrs,
+                sdf_table,
                 loss_name=opt_cfg.loss,
                 cfg_primal=cfg_primal,
                 cfg_grad=cfg_grad,

@@ -32,10 +32,14 @@ def main():
     def cb(i, params, losses):
         times.append(time.perf_counter())
 
+    # Bound every render program to ≤ ~300 k lanes (the class proven safe on
+    # this v5e): one no-tex-12 view primal is 132²·256 ≈ 4.5 M lanes, so the
+    # per-view wavefront is scanned in chunks (render_chunked's remat scan).
+    chunks = int(os.environ.get("ITER_CHUNKS", "16"))
     t0 = time.time()
     res = optimize_shape(
         "dragon", oc, mc, output_dir=None, ref_spp=int(os.environ.get("REF_SPP", "256")),
-        n_iter=n_iter, verbose=True, checkpoint_cb=cb,
+        n_iter=n_iter, verbose=True, checkpoint_cb=cb, render_chunks=chunks,
     )
     steady = [t1 - t0_ for t0_, t1 in zip(times[1:-1], times[2:])]
     per_iter = sum(steady) / max(len(steady), 1) if steady else float("nan")
