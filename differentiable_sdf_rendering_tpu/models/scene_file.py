@@ -76,7 +76,28 @@ def _load_emitter(spec, base_dir):
 
         img = read_png(os.path.join(base_dir, spec["path"])).astype(np.float32) / 255.0
         return GridEnvmap.create(img[..., :3] ** 2.2 * spec.get("scale", 1.0))
+    if kind in ("envmap", "envmap_exr"):
+        # image-based HDR environment (the reference's envmap plugin +
+        # cathedral.xml assets); importance-sampling CDFs built on load
+        return GridEnvmap.from_image(
+            os.path.join(base_dir, spec["path"]), scale=spec.get("scale", 1.0)
+        )
     return make_gradient_envmap()
+
+
+def _load_area_emitter(spec):
+    """Optional finite-position rectangular area light (the reference's
+    rectangle+area emitter shapes, plane_area scene family)."""
+    if spec is None:
+        return None
+    from .emitter import AreaEmitter
+
+    return AreaEmitter.create(
+        corner=tuple(spec["corner"]),
+        e0=tuple(spec["e0"]),
+        e1=tuple(spec["e1"]),
+        radiance=tuple(spec.get("radiance", (10.0, 10.0, 10.0))),
+    )
 
 
 def _load_mesh(spec, base_dir):
@@ -87,18 +108,32 @@ def _load_mesh(spec, base_dir):
     from ..ops.mesh_intersect import TriangleMesh
 
     albedo = tuple(spec.get("albedo", (0.5, 0.5, 0.5)))
+    material = spec.get("material", "diffuse")  # 'diffuse' | 'mirror'
+    if material not in ("diffuse", "mirror"):
+        raise ValueError(f"unknown mesh material {material!r}")
     if "obj" in spec:
         from ..utils.mesh import load_obj
 
         verts, faces = load_obj(os.path.join(base_dir, spec["obj"]))
-        return TriangleMesh.create(verts, faces, albedo)
+        verts = np.asarray(verts, np.float32)
+        if "scale" in spec:
+            verts = verts * np.float32(spec["scale"])
+        if "translate" in spec:
+            verts = verts + np.asarray(spec["translate"], np.float32)
+        return TriangleMesh.create(verts, faces, albedo, material=material)
     kind = spec.get("type", "floor")
+    if kind == "rect":
+        return TriangleMesh.rect(
+            corner=tuple(spec["corner"]), e0=tuple(spec["e0"]), e1=tuple(spec["e1"]),
+            albedo=albedo, material=material,
+        )
     if kind != "floor":
-        raise ValueError(f"unknown mesh type {kind!r} (expected 'floor' or an 'obj' entry)")
+        raise ValueError(f"unknown mesh type {kind!r} (expected 'floor', 'rect' or an 'obj' entry)")
     return TriangleMesh.floor(
         height=spec.get("height", 0.0),
         half_extent=spec.get("half_extent", 10.0),
         albedo=albedo,
+        material=material,
     )
 
 
@@ -132,4 +167,5 @@ def load_scene_file(path: str, resx: int | None = None, resy: int | None = None,
         emitter=_load_emitter(spec.get("emitter", {}), base_dir),
         cameras=_load_cameras(spec.get("cameras", {}), resx, resy),
         mesh=_load_mesh(spec.get("mesh"), base_dir),
+        area_emitter=_load_area_emitter(spec.get("area_emitter")),
     )

@@ -75,14 +75,14 @@ class TriangleMesh:
 
     @classmethod
     def floor(cls, height=0.0, half_extent=10.0, albedo=(0.5, 0.5, 0.5),
-              center_xz=(0.5, 0.5)):
+              center_xz=(0.5, 0.5), material="diffuse"):
         """Axis-aligned y=height quad — the canonical auxiliary mesh,
         centered under the unit-cube SDF domain by default."""
         h, s = float(height), float(half_extent)
         cx, cz = (float(c) for c in center_xz)
         verts = [[cx - s, h, cz - s], [cx + s, h, cz - s],
                  [cx + s, h, cz + s], [cx - s, h, cz + s]]
-        return cls.create(verts, [[0, 2, 1], [0, 3, 2]], albedo)
+        return cls.create(verts, [[0, 2, 1], [0, 3, 2]], albedo, material)
 
     @property
     def n_triangles(self):

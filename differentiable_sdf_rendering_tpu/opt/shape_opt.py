@@ -142,13 +142,30 @@ def _build_scene(base: Scene, params: dict, sdf_table=None) -> Scene:
 
 def render_reference_images(scene: Scene, opt_cfg: SdfConfig, ref_spp: int = 512, cfg: RenderConfig | None = None):
     """Render per-view references at full res + the multiscale pyramid
-    (optimize.py:11-29 with seed ``idx+41``; shape_opt.py:16-29)."""
+    (optimize.py:11-29 with seed ``idx+41``; shape_opt.py:16-29).
+
+    Bounded programs: the wavefront is chunked to ≤ ~300 k lanes per
+    program (larger single programs have crashed the v5e worker), and the
+    target SDF's gather table is prepared EAGERLY so the remat chunk scan
+    never traces the in-jit table build (the 128×-padded construction
+    compile-OOMs at 128³ — see _build_scene)."""
     cfg = dataclasses.replace(cfg or RenderConfig(), spp=ref_spp)
     refs = {}
     fullres = (opt_cfg.resx, opt_cfg.resy)
     per_view = []
+    if _attach_tables() and scene.sdf.stencil is None:
+        scene = scene.replace(sdf=scene.sdf.prepare())  # eager table build
+    b = BORDER if cfg.sample_border else 0
+    n_lanes = (opt_cfg.resx + 2 * b) * (opt_cfg.resy + 2 * b) * ref_spp
+    n_chunks = ref_spp  # fallback: one-spp chunks
+    for c in range(1, ref_spp + 1):  # smallest spp divisor bounding the chunk
+        if ref_spp % c == 0 and n_lanes // c <= 300_000:
+            n_chunks = c
+            break
     rfun = jax.jit(
-        lambda scene, cam, seed: render(scene, seed=seed, cfg=cfg, mode="primal", camera=cam)
+        lambda scene, cam, seed: render_chunked(
+            scene, seed=seed, cfg=cfg, mode="primal", camera=cam, n_chunks=n_chunks
+        )
     )
     for v in range(opt_cfg.n_sensors):
         img = rfun(scene, scene.cameras.view(v), v + 41)[..., :3]

@@ -176,14 +176,81 @@ def test_prb_renders_mesh_scene():
     assert abs(img_p[..., :3].mean() - img_d[..., :3].mean()) / img_d[..., :3].mean() < 0.15
 
 
-def test_prb_rejects_area_emitter_scene():
-    """Honest capability gate: finite-position area emitters are not in
-    PRB's estimator yet."""
+def test_prb_hybrid_scene_with_area_emitter():
+    """Hybrid mesh+SDF scene WITH a finite-position area emitter renders
+    through PRB (the r2 capability gate was removed in r3: sdf_prb_reparam
+    now inherits generic emitter handling like the reference,
+    sdf_prb_reparam.py:302-332)."""
     from differentiable_sdf_rendering_tpu.models.emitter import AreaEmitter
 
     scene = _hybrid_scene(res=16, film=16).replace(
         area_emitter=AreaEmitter.create((0.2, 1.2, 0.2), (0.6, 0, 0), (0, 0, 0.6))
     )
-    cfg = RenderConfig(integrator="sdf_prb_reparam", spp=1)
-    with pytest.raises(NotImplementedError):
-        render(scene, view_idx=0, cfg=cfg)
+    cfg = RenderConfig(integrator="sdf_prb_reparam", spp=4, max_depth=2)
+    img = np.asarray(render(scene, view_idx=0, cfg=cfg))
+    assert np.isfinite(img).all() and img[..., :3].max() > 0.0
+
+
+def test_studio_scene_renders_direct_and_prb():
+    """The checked-in studio rig (scenes/studio/studio.json): an external
+    OBJ backdrop cyc + an HDR image envmap + an overhead area panel,
+    rendered through BOTH the direct and PRB integrators (VERDICT r2 #10 —
+    user-mesh scene assembly; reference reparam.py:209-232 mixed scenes +
+    figures/result_utils.py studio rig)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from differentiable_sdf_rendering_tpu.models.integrator import RenderConfig, render
+    from differentiable_sdf_rendering_tpu.models.scene_file import load_scene_file
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scenes", "studio", "studio.json")
+    scene = load_scene_file(path, resx=40, resy=40)
+    assert scene.mesh is not None and scene.mesh.n_triangles == 6
+    assert scene.area_emitter is not None
+
+    img_d = np.asarray(render(scene, 0, seed=0,
+                              cfg=RenderConfig(integrator="sdf_direct_reparam", spp=12)))
+    img_p = np.asarray(render(scene, 0, seed=0,
+                              cfg=RenderConfig(integrator="sdf_prb_reparam", spp=12, max_depth=2)))
+    for img in (img_d, img_p):
+        assert np.isfinite(img).all()
+        # the backdrop fills most of the frame: nearly all pixels lit
+        assert (img[..., :3].max(-1) > 1e-3).mean() > 0.8, img[..., :3].mean()
+    # the two integrators estimate the same scene (depth-2 ≈ direct+MIS)
+    assert abs(img_d[..., :3].mean() - img_p[..., :3].mean()) < 0.25 * img_d[..., :3].mean()
+
+    # gradients flow through the mixed scene in both integrators
+    def loss(p, integ):
+        sc = scene.replace(sdf=scene.sdf.replace(p=p))
+        cfg = RenderConfig(integrator=integ, spp=8,
+                           max_depth=2 if integ == "sdf_prb_reparam" else 4)
+        return jnp.sum(render(sc, 0, seed=1, cfg=cfg, mode="grad")[..., :3])
+
+    for integ in ("sdf_direct_reparam", "sdf_prb_reparam"):
+        g = np.asarray(jax.grad(loss)(jnp.zeros(3), integ))
+        assert np.isfinite(g).all() and np.abs(g).max() > 1e-3, (integ, g)
+
+
+def test_scene_file_mirror_material_and_rect():
+    """Scene files support 'rect' meshes and the 'mirror' material."""
+    import json as _json
+    import os
+    import tempfile
+
+    from differentiable_sdf_rendering_tpu.models.scene_file import load_scene_file
+
+    spec = {
+        "sdf": {"procedural": "sphere", "res": 16},
+        "mesh": {"type": "rect", "corner": [-0.3, -0.5, -0.5],
+                 "e0": [0, 2, 0], "e1": [0, 0, 2],
+                 "albedo": [0.9, 0.9, 0.9], "material": "mirror"},
+        "cameras": {"type": "regular", "n": 1, "resx": 16, "resy": 16},
+    }
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.json")
+        _json.dump(spec, open(p, "w"))
+        scene = load_scene_file(p)
+    assert scene.mesh.material == "mirror"
+    assert scene.mesh.n_triangles == 2
