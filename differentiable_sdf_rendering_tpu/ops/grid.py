@@ -41,9 +41,11 @@ __all__ = [
 
 
 # Stencil tables are gated by grid size: (dim+3)³ rows × 64 floats is a
-# 64× memory blow-up (77 MB at 64³, 575 MB at 128³ — fine; 4.5 GB at 256³ —
-# not, the v5e has 15.75 GB HBM and big buffers have crashed the worker).
-_STENCIL_MAX_VOXELS = (128 + 3) ** 3 + 1
+# 64× memory blow-up (77 MB at 64³, 575 MB at 128³, 4.45 GB at 256³).
+# 256³ fits the v5e's 15.75 GB HBM as an ARGUMENT buffer (eagerly built;
+# the hq/hqq configs' flagship scale — r3 device run verified a 256³
+# trace); the r2 crashes were program-temp OOMs, since fixed.
+_STENCIL_MAX_VOXELS = (256 + 3) ** 3 + 1
 
 
 def stencil_ok(data) -> bool:
@@ -102,6 +104,48 @@ def _build_stencil_fwd_impl(data):
     # (64, N) form back into exactly that.
     table = jax.lax.optimization_barrier(jnp.stack(cols, axis=0))
     return table.T
+
+
+def build_stencil_incremental(data: jnp.ndarray) -> jnp.ndarray:
+    """Eager stencil-table build with O(table) peak memory.
+
+    The traceable :func:`build_stencil` stacks all 64 shifted copies then
+    transposes — ~3× the table size in transients, which RESOURCE_EXHAUSTs
+    the v5e at 256³ (3 × 4.45 GB).  This host-driven variant writes one
+    column at a time into a donated buffer (peak = table + padded grid +
+    one column).  EAGER ONLY (python loop of jit calls — do not call under
+    tracing); values are identical to ``build_stencil(data)``, and callers
+    route gradients through :func:`attach_stencil` as usual.
+    """
+    import functools as _ft
+
+    assert not isinstance(data, jax.core.Tracer), "eager-only builder"
+    z, y, x = data.shape[-3], data.shape[-2], data.shape[-1]
+    n = (z + 3) * (y + 3) * (x + 3)
+    padded = jnp.pad(data, ((3, 3), (3, 3), (3, 3)), mode="edge")
+
+    # Write ROWS of a (64, n) buffer (a (1, n) row pads only 8× transiently;
+    # a (n, 1) column pads 128× — 35 GB at 256³), donated so updates are
+    # in-place; ONE final transpose to the (n, 64) gather layout.
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def setrow(table, padded, start, k):
+        row = jax.lax.dynamic_slice(
+            padded, (start[0], start[1], start[2]), (z + 3, y + 3, x + 3)
+        ).reshape(1, -1)
+        return jax.lax.dynamic_update_slice(table, row, (k, 0))
+
+    table = jnp.zeros((64, n), data.dtype)
+    for a in range(4):
+        for b in range(4):
+            for c in range(4):
+                k = (a * 4 + b) * 4 + c
+                table = setrow(table, padded, jnp.asarray((a, b, c)), jnp.int32(k))
+    return jax.jit(jnp.transpose)(table)
+
+
+# Above this row count the stack+transpose transients of the traceable
+# builder exceed the chip (the table itself is rows × 256 B).
+_INCREMENTAL_BUILD_ROWS = (128 + 3) ** 3 + 1
 
 
 def _fold_edge_pad(g, lo, hi, axis):

@@ -105,6 +105,15 @@ class GridSDF:
         gradient).  ``with_data`` does the right thing."""
         if not gridops.stencil_ok(self.data):
             return self.replace(stencil=None)
+        z, y, x = self.data.shape[-3], self.data.shape[-2], self.data.shape[-1]
+        rows = (z + 3) * (y + 3) * (x + 3)
+        if (
+            rows > gridops._INCREMENTAL_BUILD_ROWS
+            and not isinstance(self.data, jax.core.Tracer)
+        ):
+            # 256³-class grids: the traceable builder's transients exceed
+            # the chip; the eager column-wise builder peaks at ~the table
+            return self.replace(stencil=gridops.build_stencil_incremental(self.data))
         return self.replace(stencil=gridops.build_stencil(self.data))
 
     def with_data(self, data):

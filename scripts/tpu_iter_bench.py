@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     n_iter = int(os.environ.get("ITERS", "6"))
+    import dataclasses
+
     import jax
 
     from differentiable_sdf_rendering_tpu.opt.configs import get_config
@@ -26,7 +28,18 @@ def main():
     from differentiable_sdf_rendering_tpu.opt.shape_opt import optimize_shape
 
     mc = get_config("warp")           # spp 64, primal_spp_mult 4 (reference defaults)
-    oc, _ = get_opt_config("no-tex-12")
+    name = os.environ.get("ITER_CONFIG", "no-tex-12")
+    oc, _ = get_opt_config(name)
+    # ITER_PHASE=final: measure the config's FINAL phase (full SDF res +
+    # full film) instead of the initial one — start directly at the target
+    # resolution with the schedules emptied (the hq/hqq flagship question:
+    # VERDICT r2 #3's "a no-tex-12-hq training iteration timed on device")
+    if os.environ.get("ITER_PHASE") == "final":
+        oc = dataclasses.replace(
+            oc, upsample_iter=(), render_upsample_iter=(),
+            resx=oc.resx * (2 ** len(oc.render_upsample_iter)),
+            resy=oc.resy * (2 ** len(oc.render_upsample_iter)),
+        )
     times = []
 
     def cb(i, params, losses):
@@ -43,10 +56,14 @@ def main():
     )
     steady = [t1 - t0_ for t0_, t1 in zip(times[1:-1], times[2:])]
     per_iter = sum(steady) / max(len(steady), 1) if steady else float("nan")
-    # 6 views × (128+2b)² × (256 + 64) spp
-    rays = 6 * (128 + 4) ** 2 * (64 * 4 + 64)
+    # batch × (res+2b)² × (primal + grad) spp
+    batch = oc.batch_size or oc.n_sensors
+    rays = batch * (oc.resx + 4) * (oc.resy + 4) * (
+        mc.spp * mc.primal_spp_mult + mc.spp
+    )
     print(json.dumps({
-        "metric": "wall-clock per opt iteration, dragon no-tex-12",
+        "metric": f"wall-clock per opt iteration, dragon {name}"
+                  + (" (final phase)" if os.environ.get("ITER_PHASE") == "final" else ""),
         "value": round(per_iter, 3),
         "unit": "s/iter",
         "rays_per_iter": rays,

@@ -102,9 +102,14 @@ def test_hdr_scene_renders_and_reconstructs():
                             cfg=RenderConfig(integrator="sdf_direct_reparam", spp=16)))
     assert np.isfinite(img).all() and img[..., :3].max() > 0.2
 
+    # ≥24 iterations (CLAUDE.md convergence-test rule: Adam steps every
+    # voxel ±lr, early iterations can spike) and compare averaged windows —
+    # the bright HDR sun makes single-iteration losses noisy at low spp
     opt_cfg, _ = get_opt_config("no-tex-3", ["--resx=32", "--resy=32", "--batch_size=3"])
     opt_cfg = dataclasses.replace(opt_cfg, sdf_res=16, upsample_iter=())
-    mc = dataclasses.replace(get_config("warp"), spp=8, primal_spp_mult=2, n_iter=10)
-    res = optimize_shape("bunny-hdr", opt_cfg, mc, output_dir=None, ref_spp=32,
-                         target_res=32, n_iter=10, verbose=False)
-    assert res.loss_values[-1] < 0.75 * res.loss_values[0], res.loss_values
+    mc = dataclasses.replace(get_config("warp"), spp=12, primal_spp_mult=2, n_iter=24)
+    res = optimize_shape("bunny-hdr", opt_cfg, mc, output_dir=None, ref_spp=48,
+                         target_res=32, n_iter=24, verbose=False)
+    start = float(np.mean(res.loss_values[:3]))
+    end = float(np.mean(res.loss_values[-4:]))
+    assert end < 0.85 * start, res.loss_values
