@@ -81,15 +81,23 @@ def main():
     b = BORDER
     pw = (res + 2 * b) * (res + 2 * b)
 
-    # ---- primal: slices of the lane space, accumulated on device ----
+    # ---- primal: SPP-STRIDED slices of the lane space (all pixels × a few
+    # spp-slots per program), accumulated on device.  Contiguous few-pixel
+    # slices concentrate straggler pixels into a few programs while the
+    # trace loop pays each program's worst lane — measured 141 vs 78 ms per
+    # 270 k-lane slice on v5e (r3).  Same global lane ids → same estimate.
     n_primal = pw * primal_spp
     n_slices_p = max(1, primal_spp // slice_spp)
     sz_p = n_primal // n_slices_p
+    k_p = primal_spp // n_slices_p
+    i_p = jnp.arange(pw * k_p, dtype=jnp.uint32)
+    base_p = (i_p // k_p) * jnp.uint32(primal_spp) + (i_p % k_p)
 
     @jax.jit
-    def primal_slice(scene, block, off):
-        lane = off + jnp.arange(sz_p, dtype=jnp.uint32)
-        return block + render_lane_block(scene, cam, lane, 0, cfg_p, "primal")
+    def primal_slice(scene, block, c):
+        lane = base_p + c * jnp.uint32(k_p)
+        return block + render_lane_block(scene, cam, lane, 0, cfg_p, "primal",
+                                         dense_groups=k_p)
 
     # ---- adjoint: VJP of one gradient-mode slice ----
     # Same lane width as the primal slices: the VJP wavefront is ~4× the
@@ -99,10 +107,13 @@ def main():
     n_adj = pw * adjoint_spp
     n_slices_a = max(1, adjoint_spp // slice_spp)
     sz_a = n_adj // n_slices_a
+    k_a = adjoint_spp // n_slices_a
+    i_a = jnp.arange(pw * k_a, dtype=jnp.uint32)
+    base_a = (i_a // k_a) * jnp.uint32(adjoint_spp) + (i_a % k_a)
 
     @jax.jit
-    def adjoint_slice(scene, goal, off):
-        lane = off + jnp.arange(sz_a, dtype=jnp.uint32)
+    def adjoint_slice(scene, goal, c):
+        lane = base_a + c * jnp.uint32(k_a)
 
         def rf(data):
             # Attach the PREBUILT tables to the traced data instead of
@@ -119,7 +130,8 @@ def main():
                 stencil=None if st is None else gridops.attach_stencil(data, st),
             )
             sc = scene.replace(sdf=sdf2)
-            return render_lane_block(sc, cam, lane, 1, cfg_g, "grad")
+            return render_lane_block(sc, cam, lane, 1, cfg_g, "grad",
+                                     dense_groups=k_a)
 
         _, vjp = jax.vjp(rf, scene.sdf.data)
         (g,) = vjp(goal)
@@ -136,13 +148,13 @@ def main():
     def run_primal():
         block = zero_block
         for i in range(n_slices_p):
-            block = primal_slice(scene, block, jnp.uint32(i * sz_p))
+            block = primal_slice(scene, block, jnp.uint32(i))
         return develop(block, border=b)
 
     def run_adjoint():
         g = None
         for i in range(n_slices_a):
-            gi = adjoint_slice(scene, goal, jnp.uint32(i * sz_a))
+            gi = adjoint_slice(scene, goal, jnp.uint32(i))
             g = gi if g is None else g + gi
         return g
 

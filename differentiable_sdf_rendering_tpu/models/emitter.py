@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..ops.sampling import square_to_uniform_sphere, square_to_vmf, vmf_pdf
@@ -114,24 +115,65 @@ class VMFEmitter:
 @struct.dataclass
 class GridEnvmap:
     """Equirectangular environment map with piecewise-constant importance
-    sampling (row CDF × per-row column CDF) — the role of Mitsuba's
-    ``envmap`` plugin with hierarchical warp."""
+    sampling — the role of Mitsuba's ``envmap`` plugin.
 
-    image: jnp.ndarray    # (H, W, 3)
-    row_cdf: jnp.ndarray  # (H,)
-    col_cdf: jnp.ndarray  # (H, W)
+    TPU-native sampling: a Walker ALIAS TABLE over the H·W texels instead
+    of the usual row/column CDF binary searches.  Per-lane CDF lookups are
+    row-gathers + vmapped ``searchsorted`` — measured ~220 ms of a 270 k-
+    lane render slice on v5e (the hidden primal cost, r3) — while the
+    alias method is O(1): two SCALAR gathers per sample (~115 M/s).  All
+    eval/pdf lookups are scalar gathers from flat planar tables.
+    """
+
+    image: jnp.ndarray       # (H, W, 3)
+    image_flat: jnp.ndarray  # (H·W·3,) planar [r..., g..., b...]
+    pdf_table: jnp.ndarray   # (H·W,) solid-angle pdf of each texel cell
+    alias_prob: jnp.ndarray  # (H·W,) Walker alias acceptance threshold
+    alias_idx: jnp.ndarray   # (H·W,) int32 alias cell
 
     @classmethod
     def create(cls, image):
         image = jnp.asarray(image, jnp.float32)
         h, w, _ = image.shape
-        lum = jnp.maximum(image.mean(-1), 1e-8)
-        # weight rows by sin(theta) so the CDF is over solid angle
-        theta = (jnp.arange(h) + 0.5) / h * jnp.pi
-        rowsum = (lum * jnp.sin(theta)[:, None]).sum(-1)
-        row_cdf = jnp.cumsum(rowsum) / jnp.sum(rowsum)
-        col_cdf = jnp.cumsum(lum, axis=-1) / jnp.sum(lum, axis=-1, keepdims=True)
-        return cls(image=image, row_cdf=row_cdf, col_cdf=col_cdf)
+        img_np = np.asarray(image)
+        lum = np.maximum(img_np.mean(-1), 1e-8)
+        # texel solid angle dω = (2π/w)(π/h) sinθ; selection prob ∝ lum·dω
+        theta = (np.arange(h) + 0.5) / h * np.pi
+        d_omega = (2.0 * np.pi / w) * (np.pi / h) * np.sin(theta)[:, None]
+        weight = (lum * d_omega).reshape(-1)
+        p = weight / weight.sum()
+        pdf = (p.reshape(h, w) / d_omega).reshape(-1)  # per-sr density
+
+        # Walker alias construction (numpy, eager — create() is host code)
+        n = h * w
+        scaled = p * n
+        alias_prob = np.ones(n, np.float32)
+        alias_idx = np.arange(n, dtype=np.int32)
+        small = [i for i in range(n) if scaled[i] < 1.0]
+        large = [i for i in range(n) if scaled[i] >= 1.0]
+        while small and large:
+            s = small.pop()
+            l = large.pop()
+            alias_prob[s] = scaled[s]
+            alias_idx[s] = l
+            scaled[l] = scaled[l] - (1.0 - scaled[s])
+            (small if scaled[l] < 1.0 else large).append(l)
+        return cls(
+            image=image,
+            image_flat=jnp.asarray(np.moveaxis(img_np, -1, 0).reshape(-1)),
+            pdf_table=jnp.asarray(pdf, jnp.float32),
+            alias_prob=jnp.asarray(alias_prob),
+            alias_idx=jnp.asarray(alias_idx),
+        )
+
+    @classmethod
+    def _cell_index(cls, image, d):
+        h, w, _ = image.shape
+        theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+        phi = jnp.arctan2(d[..., 2], d[..., 0])
+        x = jnp.clip((((phi / (2.0 * jnp.pi)) % 1.0) * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip(((theta / jnp.pi) * h).astype(jnp.int32), 0, h - 1)
+        return y * w + x
 
     @classmethod
     def from_image(cls, path: str, scale: float = 1.0):
@@ -152,46 +194,35 @@ class GridEnvmap:
             img = jnp.repeat(img, 3, axis=-1)
         return cls.create(img[..., :3] * scale)
 
-    def _dir_to_uv(self, d):
-        theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
-        phi = jnp.arctan2(d[..., 2], d[..., 0])
-        u = (phi / (2.0 * jnp.pi)) % 1.0
-        v = theta / jnp.pi
-        return u, v
+    def _eval_cell(self, cell):
+        """Radiance of texel ``cell`` via 3 scalar gathers (planar layout)."""
+        h, w, _ = self.image.shape
+        n = h * w
+        idx = jnp.stack([cell, cell + n, cell + 2 * n], axis=-1)
+        return jnp.take(self.image_flat, idx, axis=0)
 
     def eval(self, d):
-        h, w, _ = self.image.shape
-        u, v = self._dir_to_uv(d)
-        x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-        y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-        return self.image[y, x]
+        return self._eval_cell(GridEnvmap._cell_index(self.image, d))
 
     def sample_direction(self, u2):
         h, w, _ = self.image.shape
-        y = jnp.searchsorted(self.row_cdf, u2[..., 0])
-        y = jnp.clip(y, 0, h - 1)
-        x = jax.vmap(lambda cdf, u: jnp.searchsorted(cdf, u))(self.col_cdf[y], u2[..., 1])
-        x = jnp.clip(x, 0, w - 1)
-        theta = (y + 0.5) / h * jnp.pi
-        phi = (x + 0.5) / w * 2.0 * jnp.pi
+        n = h * w
+        # Walker alias sampling: one uniform picks (cell, within-cell coin)
+        s = jnp.clip(u2[..., 0], 0.0, 1.0 - 1e-7) * n
+        c = jnp.clip(s.astype(jnp.int32), 0, n - 1)
+        frac = s - c.astype(s.dtype)
+        take_alias = frac > jnp.take(self.alias_prob, c, axis=0)
+        cell = jnp.where(take_alias, jnp.take(self.alias_idx, c, axis=0), c)
+        y = cell // w
+        x = cell % w
+        theta = (y.astype(jnp.float32) + 0.5) / h * jnp.pi
+        phi = (x.astype(jnp.float32) + 0.5) / w * 2.0 * jnp.pi
         st = jnp.sin(theta)
         d = jnp.stack([st * jnp.cos(phi), jnp.cos(theta), st * jnp.sin(phi)], -1)
-        pdf = self.pdf_direction(d)
-        return d, pdf, self.image[y, x]
+        return d, jnp.take(self.pdf_table, cell, axis=0), self._eval_cell(cell)
 
     def pdf_direction(self, d):
-        h, w, _ = self.image.shape
-        u, v = self._dir_to_uv(d)
-        x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-        y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-        lum = jnp.maximum(self.image.mean(-1), 1e-8)
-        theta = (jnp.arange(h) + 0.5) / h * jnp.pi
-        rowsum = (lum * jnp.sin(theta)[:, None]).sum(-1)
-        p_row = rowsum[y] / jnp.sum(rowsum)
-        p_col = lum[y, x] / jnp.sum(lum, axis=-1)[y]
-        st = jnp.maximum(jnp.sin((y + 0.5) / h * jnp.pi), 1e-6)
-        # pixel solid angle = (2π/w)(π/h) sinθ
-        return p_row * p_col / ((2.0 * jnp.pi / w) * (jnp.pi / h) * st)
+        return jnp.take(self.pdf_table, GridEnvmap._cell_index(self.image, d), axis=0)
 
     def power_proxy(self):
         h, w, _ = self.image.shape

@@ -464,7 +464,8 @@ _INTEGRATORS = {
 }
 
 
-def render_lane_block(scene, camera, lane, seed, cfg: RenderConfig, mode="primal"):
+def render_lane_block(scene, camera, lane, seed, cfg: RenderConfig, mode="primal",
+                      dense_groups: int | None = None):
     """Render a set of wavefront lanes and splat them into a film block.
 
     ``lane``: (M,) uint32 *global* lane indices in [0, (W+2b)(H+2b)·spp) —
@@ -473,6 +474,14 @@ def render_lane_block(scene, camera, lane, seed, cfg: RenderConfig, mode="primal
     (SURVEY.md §2.4, deterministic per-ray RNG).  Returns the un-normalized
     (H+2b, W+2b, 5) block; blocks from lane shards sum (psum) before
     :func:`develop`.
+
+    ``dense_groups``: lanes-per-pixel of THIS block for the scatter-free
+    splat (defaults to ``cfg.spp``).  Spp-STRIDED lane partitions — every
+    pixel's spp-slots ``[c·k, (c+1)·k)`` per chunk — pass ``k`` here; they
+    are the preferred slicing on TPU: slices covering ALL pixels mix the
+    straggler pixels into every program instead of concentrating them
+    (contiguous few-pixel slices measured 141 ms vs 78 ms per 270 k lanes
+    on v5e — the trace loop pays its slice's worst lane).
     """
     # Prepare the ATTACHED stencil table once per program: every attached
     # SDF evaluation (surface normals, warp field jets) then rides the
@@ -535,16 +544,18 @@ def render_lane_block(scene, camera, lane, seed, cfg: RenderConfig, mode="primal
         [rgb * rw[..., None], alpha[..., None], weight_ch[..., None]], axis=-1
     )
     # Scatter-free fast path: this function's own lane→pixel mapping
-    # (pix = lane // spp over a contiguous spp-aligned lane range — true
-    # for render/render_chunked/render_sharded/bench wavefronts) satisfies
-    # splat_pixel_major's pixel-major contract.  The splat position's
-    # *primal value* always lies inside the lane's own pixel even in grad
-    # mode (d1's value equals d under replace_grad), so the 6×6 window
-    # always contains the filter support.
-    if cfg.dense_splat and lane.ndim == 1 and lane.shape[0] % spp == 0:
+    # (pix = lane // spp with ``k`` consecutive spp-slots per pixel, pixels
+    # in order — true for render/render_chunked/render_sharded/bench
+    # wavefronts, contiguous or spp-strided) satisfies splat_pixel_major's
+    # pixel-major contract.  The splat position's *primal value* always
+    # lies inside the lane's own pixel even in grad mode (d1's value equals
+    # d under replace_grad), so the 6×6 window always contains the filter
+    # support.
+    k = dense_groups if dense_groups is not None else spp
+    if cfg.dense_splat and lane.ndim == 1 and lane.shape[0] % k == 0:
         from ..ops.film import splat_pixel_major
 
-        return splat_pixel_major(pix, splat_pos, values, H, W, spp, border=b)
+        return splat_pixel_major(pix, splat_pos, values, H, W, k, border=b)
     return splat(splat_pos, values, H, W, border=b)
 
 
@@ -628,20 +639,43 @@ def render_chunked(scene, view_idx=0, seed=0, cfg: RenderConfig = RenderConfig()
         camera = scene.cameras.view(view_idx)
     W, H = camera.resx, camera.resy
     b = BORDER if cfg.sample_border else 0
-    n = (W + 2 * b) * (H + 2 * b) * cfg.spp
+    pw = (W + 2 * b) * (H + 2 * b)
+    n = pw * cfg.spp
     assert n % n_chunks == 0, (n, n_chunks)
     if n_chunks == 1:
         return render(scene, view_idx, seed, cfg, mode, camera)
     sz = n // n_chunks
 
+    if cfg.spp % n_chunks == 0:
+        # SPP-STRIDED chunks: chunk c renders ALL pixels × spp-slots
+        # [c·k, (c+1)·k).  Same global lane ids (same samples, same RNG) as
+        # contiguous chunking, regrouped — but straggler pixels are mixed
+        # into every chunk instead of concentrated in a few, and the trace
+        # loop pays per-chunk worst-lane cost (contiguous few-pixel chunks
+        # measured 1.8× slower at 270 k lanes on v5e).
+        k = cfg.spp // n_chunks
+        i = jnp.arange(pw * k, dtype=jnp.uint32)
+        base = (i // k) * jnp.uint32(cfg.spp) + (i % k)
+        groups = k
+
+        def lane_of(c):
+            return base + c * jnp.uint32(k)
+    else:
+        base = jnp.arange(sz, dtype=jnp.uint32)
+        groups = None
+
+        def lane_of(c):
+            return base + c * jnp.uint32(sz)
+
     @jax.checkpoint
-    def body(carry, off):
-        lane = off + jnp.arange(sz, dtype=jnp.uint32)
-        return carry + render_lane_block(scene, camera, lane, seed, cfg, mode), None
+    def body(carry, c):
+        lane = lane_of(c)
+        return carry + render_lane_block(
+            scene, camera, lane, seed, cfg, mode, dense_groups=groups
+        ), None
 
     init = jnp.zeros((H + 2 * b, W + 2 * b, 5), jnp.float32)
-    offsets = (jnp.arange(n_chunks, dtype=jnp.uint32)) * jnp.uint32(sz)
-    block, _ = jax.lax.scan(body, init, offsets)
+    block, _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.uint32))
     return develop(block, border=b)
 
 

@@ -191,15 +191,36 @@ def _local_lane_block(scene, cam, seed, cfg: RenderConfig, mode, n_chunks, ray_a
     (transposing a psum there would double-count the cotangent)."""
     W, H = cam.resx, cam.resy
     b = BORDER if cfg.sample_border else 0
-    n = (W + 2 * b) * (H + 2 * b) * cfg.spp
+    pw = (W + 2 * b) * (H + 2 * b)
+    n = pw * cfg.spp
     assert n % (n_ray_shards * n_chunks) == 0, (n, n_ray_shards, n_chunks)
     sz = n // (n_ray_shards * n_chunks)
     base_off = jax.lax.axis_index(ray_axis).astype(jnp.uint32) * jnp.uint32(n // n_ray_shards)
 
+    if pw % n_ray_shards == 0 and cfg.spp % n_chunks == 0:
+        # SPP-STRIDED chunks over this shard's contiguous pixel range (see
+        # render_chunked: mixing all pixels into every chunk beats
+        # contiguous few-pixel chunks 1.8× on v5e).  Same global lane ids.
+        pw_l = pw // n_ray_shards
+        k = cfg.spp // n_chunks
+        i = jnp.arange(pw_l * k, dtype=jnp.uint32)
+        pix_base = jax.lax.axis_index(ray_axis).astype(jnp.uint32) * jnp.uint32(pw_l)
+        base = (pix_base + i // k) * jnp.uint32(cfg.spp) + (i % k)
+        groups = k
+
+        def lane_of(c):
+            return base + c * jnp.uint32(k)
+    else:
+        groups = None
+
+        def lane_of(c):
+            return base_off + c * jnp.uint32(sz) + jnp.arange(sz, dtype=jnp.uint32)
+
     @jax.checkpoint
     def body(carry, c):
-        lane = base_off + c * jnp.uint32(sz) + jnp.arange(sz, dtype=jnp.uint32)
-        return carry + render_lane_block(scene, cam, lane, seed, cfg, mode), None
+        return carry + render_lane_block(
+            scene, cam, lane_of(c), seed, cfg, mode, dense_groups=groups
+        ), None
 
     init = jnp.zeros((H + 2 * b, W + 2 * b, 5), jnp.float32)
     block, _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.uint32))
