@@ -3,11 +3,13 @@
 TPU-native replacement for the reference's Dr.Jit ``mi.Texture3f``
 ``eval_cubic / eval_cubic_grad / eval_cubic_hessian`` (used by
 ``/root/reference/python/shapes.py:420-467``).  One fused evaluation gathers
-the 4x4x4 tap stencil once and produces the full derivative jet
-(value, 3 first derivatives, 6 second derivatives) via three separable
-tensor contractions — the contraction pattern maps onto the VPU/MXU instead
-of 64 scalar loads, and the backward pass w.r.t. the grid is the natural
-XLA scatter-add of the gather (no hand-written VJP needed).
+the 4x4x4 tap stencil as ONE contiguous 64-float row per query and produces
+the full derivative jet (value, 3 first derivatives, 6 second derivatives)
+as pure elementwise multiply-reduces on the flat rows (``_jet_contract`` —
+einsum/dot forms lower ~100x below the VPU, see its docstring); the
+backward pass w.r.t. the grid is the XLA scatter-add of the gather, routed
+through the table transpose by ``attach_stencil`` when the table is
+prebuilt.
 
 Conventions (matching the reference / Mitsuba):
   * grid ``data`` has shape (Z, Y, X); a point ``p = (x, y, z)`` in the unit

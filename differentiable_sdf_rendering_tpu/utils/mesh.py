@@ -111,6 +111,41 @@ def trefoil(n_u: int = 192, n_v: int = 48, tube_r: float = 0.065,
     return verts.astype(np.float32), np.asarray(faces, np.int32)
 
 
+def cinquefoil(n_u: int = 288, n_v: int = 40, tube_r: float = 0.042,
+               center=(0.5, 0.5, 0.5), scale: float = 0.115):
+    """Watertight (5,2)-torus-knot tube with a modulated tube radius —
+    a denser, thinner-featured companion to :func:`trefoil` for the
+    hq/hqq-scale assets (five interleaved strands stress 128³/256³
+    reconstruction; VERDICT r2 #5/#9)."""
+    p, q = 5, 2
+    u = np.linspace(0.0, 2 * np.pi, n_u, endpoint=False)
+    r = np.cos(q * u) + 2.0
+    C = np.stack([r * np.cos(p * u), r * np.sin(p * u), -np.sin(q * u) * 1.4], -1)
+    C = C * scale + np.asarray(center)
+    T = np.roll(C, -1, 0) - np.roll(C, 1, 0)
+    T /= np.linalg.norm(T, axis=-1, keepdims=True)
+    ref = np.asarray([0.21, 0.93, 0.29])
+    N = np.cross(T, ref)
+    N /= np.linalg.norm(N, axis=-1, keepdims=True)
+    B = np.cross(T, N)
+    v = np.linspace(0.0, 2 * np.pi, n_v, endpoint=False)
+    # gentle radius modulation along the strand (thin + thick features)
+    rr = tube_r * (1.0 + 0.35 * np.sin(3.0 * u))[None, :, None]
+    ring = (np.cos(v)[:, None, None] * N[None] + np.sin(v)[:, None, None] * B[None])
+    verts = (C[None] + rr * ring).reshape(-1, 3)
+
+    def vid(i, j):
+        return (i % n_v) * n_u + (j % n_u)
+
+    faces = []
+    for j in range(n_u):
+        for i in range(n_v):
+            a, b = vid(i, j), vid(i + 1, j)
+            c, d = vid(i + 1, j + 1), vid(i, j + 1)
+            faces += [[a, b, c], [a, c, d]]
+    return verts.astype(np.float32), np.asarray(faces, np.int32)
+
+
 def blob(subdiv: int = 3, center=(0.5, 0.5, 0.5), radius: float = 0.27, amp: float = 0.35):
     """Watertight irregular blob: an icosphere displaced by smooth
     low-frequency harmonics (asymmetric, concave in places)."""

@@ -31,9 +31,11 @@ from differentiable_sdf_rendering_tpu.models.integrator import RenderConfig, ren
 from differentiable_sdf_rendering_tpu.models.scene import Scene
 from differentiable_sdf_rendering_tpu.models.scenes_zoo import ASSET_DIR, target_sdf
 from differentiable_sdf_rendering_tpu.utils.io import write_exr, write_vol
-from differentiable_sdf_rendering_tpu.utils.mesh import blob, create_sdf, trefoil
+from differentiable_sdf_rendering_tpu.utils.mesh import blob, cinquefoil, create_sdf, trefoil
 
-MESHES = {"trefoil": trefoil, "blob": blob}
+MESHES = {"trefoil": trefoil, "blob": blob, "cinquefoil": cinquefoil}
+# hq/hqq-scale asset: the thin-strand knot additionally at 256^3
+HQ_MESHES = {"cinquefoil": (256,)}
 GOLDEN_RES = 64
 GOLDEN_SPP = 16
 
@@ -81,7 +83,7 @@ def main():
     for name, gen in MESHES.items():
         verts, tris = gen()
         print(f"[{name}] mesh: {len(verts)} verts, {len(tris)} tris")
-        for res in (64, 128):
+        for res in (64, 128) + HQ_MESHES.get(name, ()):
             sdf = np.asarray(create_sdf((verts, tris), res=res))
             fn = os.path.join(sdf_dir, f"{name}_{res}.vol")
             write_vol(fn, sdf)

@@ -15,7 +15,7 @@ from differentiable_sdf_rendering_tpu.utils.io import read_exr, read_vol
 
 
 def test_vol_assets_load_and_are_sdfs():
-    for name in ("trefoil", "blob"):
+    for name in ("trefoil", "blob", "cinquefoil"):
         for res in (64,):
             data = np.asarray(target_sdf(name, res))
             assert data.shape == (res, res, res)
@@ -42,7 +42,7 @@ def test_golden_render_regression():
     golden EXR (freezes today's correctness per VERDICT r1 weak #8; the RNG
     is counter-based per global lane, so this is deterministic up to XLA
     accumulation-order drift)."""
-    for name in ("trefoil", "blob"):
+    for name in ("trefoil", "blob", "cinquefoil"):
         data = target_sdf(name, 64)
         scene = Scene.create(data, cameras=regular_cameras(2, resx=64, resy=64))
         cfg = RenderConfig(integrator="sdf_direct_reparam", spp=16)
