@@ -186,7 +186,9 @@ class GridEnvmap:
         if path.endswith(".exr"):
             img = uio.read_exr(path)
         else:
-            img = uio.read_png(path)
+            # 8-bit images: normalize + inverse-gamma to linear radiance
+            # (same convention as scene_file's envmap_png loader)
+            img = (uio.read_png(path).astype(np.float32) / 255.0) ** 2.2
         img = jnp.asarray(img, jnp.float32)
         if img.ndim == 2:
             img = img[..., None]
@@ -207,11 +209,14 @@ class GridEnvmap:
     def sample_direction(self, u2):
         h, w, _ = self.image.shape
         n = h * w
-        # Walker alias sampling: one uniform picks (cell, within-cell coin)
+        # Walker alias sampling: u0 picks the column, u1 is the acceptance
+        # coin.  The coin must be an INDEPENDENT full-precision uniform: the
+        # fractional bits of u0·n carry only ~(24 − log2 n) random bits in
+        # float32 — ~3 bits for a 1024×2048 HDR — which would quantize the
+        # acceptance probabilities and bias the sampled distribution.
         s = jnp.clip(u2[..., 0], 0.0, 1.0 - 1e-7) * n
         c = jnp.clip(s.astype(jnp.int32), 0, n - 1)
-        frac = s - c.astype(s.dtype)
-        take_alias = frac > jnp.take(self.alias_prob, c, axis=0)
+        take_alias = u2[..., 1] > jnp.take(self.alias_prob, c, axis=0)
         cell = jnp.where(take_alias, jnp.take(self.alias_idx, c, axis=0), c)
         y = cell // w
         x = cell % w

@@ -236,10 +236,11 @@ def scene_rig_full(scene_name: str, param_keys=("sdf",)):
         )
         if scene_name == "plane_red_object":
             bsdf = DiffuseBSDF.create(albedo=(0.75, 0.25, 0.2))
-    elif scene_name.endswith("-hdr") or scene_name == "cathedral":
+    elif scene_name.endswith("-hdr"):
         # image-based environment lighting (the reference's envmap scenes,
         # ``emitters/cathedral.xml`` — SURVEY.md §2.2): the checked-in
-        # equirect HDR asset, importance-sampled via GridEnvmap's CDFs
+        # equirect HDR asset with alias-table importance sampling; any
+        # scene name gains it via the '-hdr' suffix (geometry unchanged)
         emitter = studio_hdr_envmap()
     else:
         emitter = make_gradient_envmap()

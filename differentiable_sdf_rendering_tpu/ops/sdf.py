@@ -107,12 +107,13 @@ class GridSDF:
             return self.replace(stencil=None)
         z, y, x = self.data.shape[-3], self.data.shape[-2], self.data.shape[-1]
         rows = (z + 3) * (y + 3) * (x + 3)
-        if (
-            rows > gridops._INCREMENTAL_BUILD_ROWS
-            and not isinstance(self.data, jax.core.Tracer)
-        ):
-            # 256³-class grids: the traceable builder's transients exceed
-            # the chip; the eager column-wise builder peaks at ~the table
+        if rows > gridops._INCREMENTAL_BUILD_ROWS:
+            if isinstance(self.data, jax.core.Tracer):
+                # 256³-class grids must be prepared EAGERLY (the traceable
+                # builder's transients RESOURCE_EXHAUST the chip); declining
+                # here keeps in-jit auto-prepare on the safe per-tap path
+                return self.replace(stencil=None)
+            # eager column-wise builder: peaks at ~the table itself
             return self.replace(stencil=gridops.build_stencil_incremental(self.data))
         return self.replace(stencil=gridops.build_stencil(self.data))
 

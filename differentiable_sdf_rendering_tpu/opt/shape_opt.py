@@ -587,9 +587,16 @@ def optimize_shape(
             # iteration, amortized over a multi-second step.
             sdf_table = None
             if _attach_tables() and gridops_stencil_ok(params["sdf"]):
-                from ..ops.grid import build_stencil
+                from ..ops import grid as gridops
 
-                sdf_table = build_stencil(params["sdf"])
+                z_, y_, x_ = params["sdf"].shape[-3:]
+                if (z_ + 3) * (y_ + 3) * (x_ + 3) > gridops._INCREMENTAL_BUILD_ROWS:
+                    # 256³-class grids: the traceable builder's transients
+                    # RESOURCE_EXHAUST the chip (grid.py) — column-wise
+                    # donated build instead (~8 s/iter at 256³)
+                    sdf_table = gridops.build_stencil_incremental(params["sdf"])
+                else:
+                    sdf_table = gridops.build_stencil(params["sdf"])
             params, adam_state, ema, loss = _train_step(
                 params,
                 adam_state,

@@ -29,7 +29,6 @@ grep -q rtt_ms "$OUT/probe.log" || { echo "DEVICE DEAD — aborting session"; ex
 
 step trace_vars   2400 env BENCH_TRACE=1 python bench.py
 step bench_med    2400 env BENCH_CHILD=1 BENCH_SCALE=medium python bench.py
-step bench_medium 2400 env BENCH_CHILD=1 BENCH_SCALE=medium python bench.py
 step decomp       1500 python scripts/profile_decomp.py
 step gather_full  1500 python scripts/gather_probe.py
 

@@ -35,11 +35,10 @@ def main():
     # resolution with the schedules emptied (the hq/hqq flagship question:
     # VERDICT r2 #3's "a no-tex-12-hq training iteration timed on device")
     if os.environ.get("ITER_PHASE") == "final":
-        oc = dataclasses.replace(
-            oc, upsample_iter=(), render_upsample_iter=(),
-            resx=oc.resx * (2 ** len(oc.render_upsample_iter)),
-            resy=oc.resy * (2 ** len(oc.render_upsample_iter)),
-        )
+        # resx/resy ARE the final film resolution (SdfConfig ramps UP TO
+        # them via render_upsample_iter); only the schedules are emptied so
+        # iteration 0 starts at the final SDF res + final film res.
+        oc = dataclasses.replace(oc, upsample_iter=(), render_upsample_iter=())
     times = []
 
     def cb(i, params, losses):
