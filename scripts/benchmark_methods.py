@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", choices=["small", "full"], default="small")
+    ap.add_argument("--scale", choices=["small", "medium", "full"], default="small")
     ap.add_argument("--out", default="output/benchmark")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -50,6 +50,13 @@ def main():
         conv_sizes = [2, 4, 8, 16, 32]
         redist_sizes = [16, 32, 64, 128, 256, 512]
         scenes = ["bunny", "cubes", "torus"]
+    elif args.scale == "medium":
+        # device-safe: every program is a ≤~300 k-lane strided slice (the
+        # class proven safe on the v5e; single full renders crash it)
+        res, pspp, aspp, grid, runs = 128, 64, 16, 64, 2
+        conv_sizes = [2, 4, 8, 16, 32]
+        redist_sizes = [16, 32, 64, 128, 256]
+        scenes = ["bunny"]
     else:
         res, pspp, aspp, grid, runs = 48, 16, 8, 32, 2
         conv_sizes = [2, 8]
@@ -70,6 +77,64 @@ def main():
         sdf = target_sdf(scene_name, grid)
         scene = Scene.create(sdf, cameras=regular_cameras(1, resx=res, resy=res))
         results["render"][scene_name] = {}
+        if args.scale == "medium":
+            # host-sliced protocol (bench.py pattern): spp-strided slices,
+            # per-slice VJP, one fetch per timed pass — each program stays
+            # in the ≤~300 k-lane class the v5e tolerates
+            from differentiable_sdf_rendering_tpu.models.integrator import render_lane_block
+            from differentiable_sdf_rendering_tpu.ops.film import BORDER
+
+            cam = scene.cameras.view(0)
+            scene = scene.replace(sdf=scene.sdf.prepare())
+            b = BORDER
+            pw = (res + 2 * b) * (res + 2 * b)
+            k = 4  # spp-slots per slice
+
+            for name, cfg in methods.items():
+                cfg_p = dataclasses.replace(cfg, spp=pspp)
+                i_p = jnp.arange(pw * k, dtype=jnp.uint32)
+                base_p = (i_p // k) * jnp.uint32(pspp) + (i_p % k)
+                i_a = jnp.arange(pw * k, dtype=jnp.uint32)
+                base_a = (i_a // k) * jnp.uint32(cfg.spp) + (i_a % k)
+                goal = jnp.ones((res + 2 * b, res + 2 * b, 5), jnp.float32)
+
+                @jax.jit
+                def pslice(scene, c, cfg_p=cfg_p, base_p=base_p):
+                    lane = base_p + c * jnp.uint32(k)
+                    return render_lane_block(scene, cam, lane, 0, cfg_p,
+                                             "primal", dense_groups=k).sum()
+
+                @jax.jit
+                def aslice(scene, goal, c, cfg=cfg, base_a=base_a):
+                    lane = base_a + c * jnp.uint32(k)
+
+                    def rf(data):
+                        from differentiable_sdf_rendering_tpu.ops import grid as gridops
+
+                        st = scene.sdf.stencil
+                        sdf2 = scene.sdf.replace(
+                            data=data,
+                            stencil=None if st is None else gridops.attach_stencil(data, st),
+                        )
+                        return render_lane_block(scene.replace(sdf=sdf2), cam,
+                                                 lane, 1, cfg, "grad", dense_groups=k)
+
+                    _, vjp = jax.vjp(rf, scene.sdf.data)
+                    (g,) = vjp(goal)
+                    return g.sum()
+
+                def pass_once(scene):
+                    acc = 0.0
+                    for c in range(pspp // k):
+                        acc = acc + pslice(scene, jnp.uint32(c))
+                    for c in range(cfg.spp // k):
+                        acc = acc + aslice(scene, goal, jnp.uint32(c))
+                    return acc
+
+                dt, _ = device_time(pass_once, scene, n_runs=runs)
+                results["render"][scene_name][name] = dt
+                print(f"[9a] {scene_name:8s} {name:12s} {dt*1e3:8.1f} ms", flush=True)
+            continue
         for name, cfg in methods.items():
             cfg_p = dataclasses.replace(cfg, spp=pspp)
 
