@@ -624,7 +624,7 @@ def render_aovs(scene, view_idx=0, seed=0, cfg: RenderConfig = RenderConfig(), c
     }
 
 
-def render_chunked(scene, view_idx=0, seed=0, cfg: RenderConfig = RenderConfig(), mode="primal", camera=None, n_chunks: int = 1):
+def render_chunked(scene, view_idx=0, seed=0, cfg: RenderConfig = RenderConfig(), mode="primal", camera=None, n_chunks: int = 1, remat: bool = True):
     """Render with the wavefront split into contiguous lane chunks to bound
     peak memory (the role of Dr.Jit's wavefront-size cap, reparam.py:47-50).
     Matches :func:`render` up to float32 accumulation order (the same
@@ -634,6 +634,12 @@ def render_chunked(scene, view_idx=0, seed=0, cfg: RenderConfig = RenderConfig()
     the trace program regardless of chunk count, and the backward pass
     recomputes per-chunk intermediates instead of storing the whole
     wavefront (``jax.checkpoint`` ≙ trading FLOPs for HBM).
+
+    ``remat=False`` stores the chunk residuals instead: the VJP skips the
+    second forward (~25% of a train step's gradient render), at the price of
+    residual HBM for the WHOLE wavefront — callers gate this on a lane
+    budget (opt/shape_opt.py picks it when the grad wavefront is small
+    enough).  Identical values either way.
     """
     if camera is None:
         camera = scene.cameras.view(view_idx)
@@ -667,13 +673,14 @@ def render_chunked(scene, view_idx=0, seed=0, cfg: RenderConfig = RenderConfig()
         def lane_of(c):
             return base + c * jnp.uint32(sz)
 
-    @jax.checkpoint
     def body(carry, c):
         lane = lane_of(c)
         return carry + render_lane_block(
             scene, camera, lane, seed, cfg, mode, dense_groups=groups
         ), None
 
+    if remat:
+        body = jax.checkpoint(body)
     init = jnp.zeros((H + 2 * b, W + 2 * b, 5), jnp.float32)
     block, _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.uint32))
     return develop(block, border=b)

@@ -22,8 +22,12 @@ Conventions (matching the reference / Mitsuba):
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Interpolation contractions are pure elementwise fp32 VPU ops (see
 # _jet_contract): einsum/dot_general forms — even at default precision —
@@ -299,6 +303,85 @@ def _tap_setup(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None = 
     return taps, f, res
 
 
+# ---- MXU weight formulation -------------------------------------------
+# Every weight table w_o[k] = wz(fz)·wy(fy)·wx(fx) (k = (iz·4+iy)·4+ix) is a
+# LINEAR function of the 64 trilinear monomials mono[m] = fz^a·fy^b·fx^c
+# (a,b,c ≤ 3): w_o = M_o @ mono with M_o = Bz_o ⊗ By_o ⊗ Bx_o a CONSTANT
+# 64×64 matrix per derivative order.  All requested orders then come from
+# ONE (N, 64) @ (64, 64·n_orders) matmul — real MXU work — instead of
+# n_orders broadcast-product passes.  Measured on v5e at 262 k lanes
+# (scripts/jet_probe_r4.py): the full 10-order jet fell 164 → 11.9 ms
+# standalone and 6.4 → 5.3 ms/iteration inside a trace-like loop, while
+# the value-only path is a wash.  Precision.HIGHEST keeps the matmul
+# fp32-accurate (DEFAULT bf16 passes give ~4e-3 value error — fatal for
+# trace hit tests); on CPU the elementwise path is faster, so the switch
+# is per-backend (override with DSDF_MM_JET=0/1).
+_B_COEFF = np.array(
+    [[1, -3, 3, -1], [4, 0, -6, 3], [1, 3, 3, -3], [0, 0, 0, 1]], np.float64
+) / 6.0
+
+
+def _deriv_coeff(B):
+    out = np.zeros_like(B)
+    for a in range(1, 4):
+        out[:, a - 1] = B[:, a] * a
+    return out
+
+
+_BASIS_COEFF = (_B_COEFF, _deriv_coeff(_B_COEFF), _deriv_coeff(_deriv_coeff(_B_COEFF)))
+
+
+@functools.lru_cache(None)
+def _order_stack_np(orders: tuple):
+    """(64, 64·n_orders) fp32 constant: mono (N, 64) @ this = all weights."""
+    mats = [
+        np.kron(_BASIS_COEFF[oz], np.kron(_BASIS_COEFF[oy], _BASIS_COEFF[ox]))
+        for (ox, oy, oz) in orders
+    ]
+    return np.ascontiguousarray(np.concatenate(mats, axis=0).T.astype(np.float32))
+
+
+def _monomials(f):
+    """(..., 3) fractions → (..., 64) monomials fz^a·fy^b·fx^c."""
+    def pows(t):
+        t2 = t * t
+        return jnp.stack([jnp.ones_like(t), t, t2, t2 * t], axis=-1)
+
+    px, py, pz = pows(f[..., 0]), pows(f[..., 1]), pows(f[..., 2])
+    mono = pz[..., :, None, None] * py[..., None, :, None] * px[..., None, None, :]
+    return mono.reshape(mono.shape[:-3] + (64,))
+
+
+def _use_mm_jet() -> bool:
+    env = os.environ.get("DSDF_MM_JET")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _jet_contract_mm(taps, f, orders):
+    """Matmul-weight evaluation of the derivative jet (see block comment)."""
+    taps64 = taps.reshape(taps.shape[:-3] + (64,))
+    M_T = jnp.asarray(_order_stack_np(tuple(orders)))
+    W = jnp.matmul(_monomials(f), M_T, precision=jax.lax.Precision.HIGHEST)
+    return [
+        jnp.sum(taps64 * W[..., o * 64:(o + 1) * 64], axis=-1)
+        for o in range(len(orders))
+    ]
+
+
+def _eval_orders(taps, f, orders):
+    """Contract the tap window against the requested derivative orders,
+    picking the per-backend formulation (MXU matmul on TPU, elementwise
+    broadcast-product on CPU)."""
+    if _use_mm_jet():
+        return _jet_contract_mm(taps, f, orders)
+    wx, dwx, ddwx = bspline_weights(f[..., 0])
+    wy, dwy, ddwy = bspline_weights(f[..., 1])
+    wz, dwz, ddwz = bspline_weights(f[..., 2])
+    return _jet_contract(taps, (wx, dwx, ddwx), (wy, dwy, ddwy), (wz, dwz, ddwz), orders)
+
+
 def _jet_contract(taps, wxs, wys, wzs, orders):
     """Separable B-spline contractions as pure elementwise VPU ops.
 
@@ -336,22 +419,15 @@ def _jet_contract(taps, wxs, wys, wzs, orders):
 def grid_eval(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None = None) -> jnp.ndarray:
     """Cubic B-spline value at points ``p`` (..., 3) → (...,)."""
     taps, f, _ = _tap_setup(data, p, stencil)
-    wx, _, _ = bspline_weights(f[..., 0])
-    wy, _, _ = bspline_weights(f[..., 1])
-    wz, _, _ = bspline_weights(f[..., 2])
-    (value,) = _jet_contract(taps, (wx,), (wy,), (wz,), [(0, 0, 0)])
+    (value,) = _eval_orders(taps, f, ((0, 0, 0),))
     return value
 
 
 def grid_eval_grad(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None = None):
     """Value and spatial gradient → ``(value (...,), grad (..., 3))``."""
     taps, f, res = _tap_setup(data, p, stencil)
-    wx, dwx, _ = bspline_weights(f[..., 0])
-    wy, dwy, _ = bspline_weights(f[..., 1])
-    wz, dwz, _ = bspline_weights(f[..., 2])
-    value, gx, gy, gz = _jet_contract(
-        taps, (wx, dwx), (wy, dwy), (wz, dwz),
-        [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)],
+    value, gx, gy, gz = _eval_orders(
+        taps, f, ((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1))
     )
     grad = jnp.stack([gx * res[0], gy * res[1], gz * res[2]], axis=-1)
     return value, grad
@@ -364,17 +440,14 @@ def grid_eval_all(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None
     (``/root/reference/python/shapes.py:438-450``) in one fused pass.
     """
     taps, f, res = _tap_setup(data, p, stencil)
-    wx, dwx, ddwx = bspline_weights(f[..., 0])
-    wy, dwy, ddwy = bspline_weights(f[..., 1])
-    wz, dwz, ddwz = bspline_weights(f[..., 2])
-    value, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz = _jet_contract(
-        taps, (wx, dwx, ddwx), (wy, dwy, ddwy), (wz, dwz, ddwz),
-        [
+    value, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz = _eval_orders(
+        taps, f,
+        (
             (0, 0, 0),
             (1, 0, 0), (0, 1, 0), (0, 0, 1),
             (2, 0, 0), (0, 2, 0), (0, 0, 2),
             (1, 1, 0), (1, 0, 1), (0, 1, 1),
-        ],
+        ),
     )
     rx, ry, rz = res[0], res[1], res[2]
     grad = jnp.stack([gx * rx, gy * ry, gz * rz], axis=-1)

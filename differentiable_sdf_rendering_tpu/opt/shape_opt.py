@@ -59,6 +59,28 @@ _LOSSES = {
     "multiscale_l1": losses_mod.multiscale_l1,
 }
 
+# Above this per-step lane-work estimate (batch · padded-pixels ·
+# (primal_spp + 3·grad_spp)), 'auto' dispatch switches to the host-sliced
+# step: the proven-safe one-dispatch ceiling is the no-tex-12 final phase
+# (≈47 M, a 19-22 s execution), while the hq final phase (≈181 M, ≈90 s)
+# crashed the worker 3× (BASELINE.md r3).
+_HOST_DISPATCH_LANES = 80_000_000
+
+
+def _grad_remat_auto(pw: int, grad_spp: int) -> bool:
+    """Whether the training gradient render rematerializes its chunk scan.
+
+    Storing residuals instead (remat=False) removes the VJP's second
+    forward pass — measured ~25% of the gradient render — but keeps the
+    WHOLE grad wavefront's residuals live.  The no-tex-12 final phase
+    (132²·64 ≈ 1.1 M grad lanes) fits the v5e's 15.75 GB comfortably;
+    beyond ~2 M lanes residuals reach double-digit GB (the r1 17 GB OOM
+    class), so remat stays on.  Override with DSDF_GRAD_REMAT=0/1."""
+    env = os.environ.get("DSDF_GRAD_REMAT")
+    if env in ("0", "1"):
+        return env == "1"
+    return pw * grad_spp > 1_300_000
+
 
 def _write_loss_plot(loss_values, output_dir):
     """Loss curve PNG/PDF (reference shape_opt.py:106-117)."""
@@ -239,6 +261,7 @@ def _render_view_sharded(scene, cam, seed, cfg: RenderConfig, mode, n_chunks, ra
 def _view_batch_loss_grads(
     params, base, view_indices, seeds, seeds_grad, refs, sdf_table=None,
     *, loss_name, cfg_primal, cfg_grad, batch, render_chunks, mesh,
+    grad_remat: bool = True,
 ):
     """Loss + parameter gradients of a strided view batch — the SPMD core of
     the training step.  With ``mesh=None`` this is a lax.scan over views on
@@ -293,7 +316,14 @@ def _view_batch_loss_grads(
 
         def grad_backprop(params_a, base_a, table_a, cam, seed_g, dimg):
             def rfun(p):
-                return render_view(_build_scene(base_a, p, table_a), cam, seed_g, cfg_grad, "grad")[..., :3]
+                # grad_remat=False stores the chunk-scan residuals so the
+                # VJP skips its second forward pass (VERDICT r3 #4) — gated
+                # on the grad wavefront size by the caller.
+                return render_chunked(
+                    _build_scene(base_a, p, table_a), seed=seed_g,
+                    cfg=cfg_grad, mode="grad", camera=cam,
+                    n_chunks=render_chunks, remat=grad_remat,
+                )[..., :3]
 
             _, vjp = jax.vjp(rfun, params_a)
             (gp,) = vjp(dimg)
@@ -364,37 +394,12 @@ def _view_batch_loss_grads(
     return run(params, base, sdf_table, vi, sp, sg, rf)
 
 
-@functools.partial(jax.jit, static_argnames=("loss_name", "cfg_primal", "cfg_grad", "batch", "specs", "base_treedef", "mask_updates", "render_chunks", "mesh"))
-def _train_step(
-    params,
-    adam_state,
-    ema,
-    base_leaves,
-    view_indices,
-    seeds,
-    seeds_grad,
-    refs,
-    lrs,
-    sdf_table=None,
-    *,
-    base_treedef,
-    loss_name,
-    cfg_primal: RenderConfig,
-    cfg_grad: RenderConfig,
-    batch: int,
-    specs,
-    mask_updates: bool = False,
-    render_chunks: int = 1,
-    mesh=None,
-):
-    base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
+def _finish_step(params, adam_state, ema, grads, total_loss, lrs, *, specs, mask_updates):
+    """Shared step tail: SDF regularizer, gradient validation, Adam,
+    parameter validation (clamps + redistancing), EMA.  Called from inside
+    the one-dispatch :func:`_train_step` and, jitted on its own, from the
+    host-sliced step (reference shape_opt.py:89-105 semantics either way)."""
     spec_by_key = {s.key: s for s in specs}
-
-    total_loss, grads = _view_batch_loss_grads(
-        params, base, view_indices, seeds, seeds_grad, refs, sdf_table,
-        loss_name=loss_name, cfg_primal=cfg_primal, cfg_grad=cfg_grad,
-        batch=batch, render_chunks=render_chunks, mesh=mesh,
-    )
 
     # Laplacian regularizer on the SDF (shape_opt.py:89-92)
     sdf_spec: SdfVariableSpec = spec_by_key["sdf"]
@@ -402,6 +407,7 @@ def _train_step(
         rval, rg = jax.value_and_grad(
             lambda s: sdf_spec.regularizer_weight * discrete_laplacian_reg(s)
         )(params["sdf"])
+        grads = dict(grads)
         grads["sdf"] = grads["sdf"] + rg
         total_loss = total_loss + rval
 
@@ -423,6 +429,202 @@ def _train_step(
         for k in new_params
     }
     return new_params, new_state, new_ema, total_loss
+
+
+_finish_step_jit = jax.jit(_finish_step, static_argnames=("specs", "mask_updates"))
+
+
+# ---------------------------------------------------------------------------
+# Host-sliced training step (hq/hqq scales)
+#
+# The one-dispatch _train_step at the hq final phase (6 views × 256² film ×
+# 320 spp at 128³) is ≈90 s of device time in ONE XLA execution — and that
+# program crashed the v5e worker three times (BASELINE.md r3; recovery takes
+# 30-100 min per crash).  The same arithmetic dispatched as bench.py-class
+# slices (≤ ~300 k lanes per program, async-enqueued) runs reliably, so at
+# large scales the step is sequenced from the HOST: per view, spp-strided
+# primal slices accumulate the film block on device; the loss cotangent is
+# pulled back through develop at the grad-mode block; per-slice VJPs
+# accumulate parameter gradients on device.  Cost = 2×forward + backward per
+# grad sample — identical to the rematerialized chunk scan it replaces (its
+# jax.checkpoint re-runs the grad forward inside the VJP too).  Values match
+# the one-dispatch step to float accumulation order: same lane ids, same
+# sample set, same seeds.
+# ---------------------------------------------------------------------------
+
+
+def _host_slice_spp(pw: int, spp: int, max_lanes: int) -> int:
+    """Largest divisor k of ``spp`` with ``pw·k ≤ max_lanes`` (min 1)."""
+    k = max(1, min(spp, max_lanes // max(pw, 1)))
+    while spp % k:
+        k -= 1
+    return k
+
+
+def _strided_lane(pw: int, spp: int, k: int, c):
+    """Slice ``c``'s spp-strided global lane ids: all pixels × spp-slots
+    [c·k, (c+1)·k) — the TPU-preferred slicing (see render_chunked)."""
+    i = jnp.arange(pw * k, dtype=jnp.uint32)
+    return (i // k) * jnp.uint32(spp) + (i % k) + c * jnp.uint32(k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_treedef", "cfg", "k", "mode"),
+    donate_argnums=(0,),
+)
+def _accum_block_slice(block, params, base_leaves, sdf_table, cam, c, seed,
+                       *, base_treedef, cfg, k, mode):
+    base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
+    scene = _build_scene(base, params, sdf_table)
+    b = BORDER if cfg.sample_border else 0
+    pw = (cam.resx + 2 * b) * (cam.resy + 2 * b)
+    lane = _strided_lane(pw, cfg.spp, k, c)
+    return block + render_lane_block(scene, cam, lane, seed, cfg, mode, dense_groups=k)
+
+
+@functools.partial(jax.jit, static_argnames=("loss_name", "batch", "border"))
+def _loss_and_dimg(block, ref, *, loss_name, batch, border):
+    img = develop(block, border=border)[..., :3]
+    return jax.value_and_grad(lambda im: _LOSSES[loss_name](im, ref) / batch)(img)
+
+
+@functools.partial(jax.jit, static_argnames=("border",))
+def _develop_cotangent(block, dimg, *, border):
+    _, vjp = jax.vjp(lambda B: develop(B, border=border)[..., :3], block)
+    (dB,) = vjp(dimg)
+    return dB
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_treedef", "cfg", "k"),
+    donate_argnums=(0,),
+)
+def _accum_grads_slice(grads, params, base_leaves, sdf_table, cam, c, seed, dB,
+                       *, base_treedef, cfg, k):
+    base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
+    b = BORDER if cfg.sample_border else 0
+    pw = (cam.resx + 2 * b) * (cam.resy + 2 * b)
+    lane = _strided_lane(pw, cfg.spp, k, c)
+
+    def rf(p):
+        scene = _build_scene(base, p, sdf_table)
+        return render_lane_block(scene, cam, lane, seed, cfg, "grad", dense_groups=k)
+
+    _, vjp = jax.vjp(rf, params)
+    (gp,) = vjp(dB)
+    return jax.tree_util.tree_map(jnp.add, grads, gp)
+
+
+def _host_loss_grads(
+    params, base_leaves, view_indices, seeds, seeds_grad, refs, sdf_table,
+    *, base_treedef, loss_name, cfg_primal: RenderConfig,
+    cfg_grad: RenderConfig, batch: int, max_lanes: int = 300_000,
+):
+    """Loss + parameter gradients of a view batch, sequenced as bench-class
+    host dispatches — the host-sliced counterpart of
+    :func:`_view_batch_loss_grads` (values match to float accumulation
+    order: same lane ids, same sample set, same seeds)."""
+    base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
+    b = BORDER if cfg_primal.sample_border else 0
+
+    grads = jax.tree_util.tree_map(lambda x: jnp.zeros(x.shape, x.dtype), params)
+    total_loss = jnp.zeros(())
+    for j, v in enumerate([int(x) for x in view_indices]):
+        cam = base.cameras.view(v)
+        pw = (cam.resx + 2 * b) * (cam.resy + 2 * b)
+        shape5 = (cam.resy + 2 * b, cam.resx + 2 * b, 5)
+        seed_p, seed_g = seeds[j], seeds_grad[j]
+
+        # primal film block (detached: never differentiated)
+        kp = _host_slice_spp(pw, cfg_primal.spp, max_lanes)
+        block = jnp.zeros(shape5, jnp.float32)
+        for c in range(cfg_primal.spp // kp):
+            block = _accum_block_slice(
+                block, params, base_leaves, sdf_table, cam, jnp.uint32(c), seed_p,
+                base_treedef=base_treedef, cfg=cfg_primal, k=kp, mode="primal",
+            )
+        lval, dimg = _loss_and_dimg(
+            block, refs[j], loss_name=loss_name, batch=batch, border=b
+        )
+        total_loss = total_loss + lval
+
+        # grad-mode film block (the develop cotangent needs its value)
+        kg = _host_slice_spp(pw, cfg_grad.spp, max_lanes)
+        gblock = jnp.zeros(shape5, jnp.float32)
+        for c in range(cfg_grad.spp // kg):
+            gblock = _accum_block_slice(
+                gblock, params, base_leaves, sdf_table, cam, jnp.uint32(c), seed_g,
+                base_treedef=base_treedef, cfg=cfg_grad, k=kg, mode="grad",
+            )
+        dB = _develop_cotangent(gblock, dimg, border=b)
+
+        # per-slice VJPs, accumulated on device
+        for c in range(cfg_grad.spp // kg):
+            grads = _accum_grads_slice(
+                grads, params, base_leaves, sdf_table, cam, jnp.uint32(c), seed_g, dB,
+                base_treedef=base_treedef, cfg=cfg_grad, k=kg,
+            )
+    return total_loss, grads
+
+
+def _train_step_host(
+    params, adam_state, ema, base_leaves, view_indices, seeds, seeds_grad,
+    refs, lrs, sdf_table=None, *, base_treedef, loss_name,
+    cfg_primal: RenderConfig, cfg_grad: RenderConfig, batch: int, specs,
+    mask_updates: bool = False, max_lanes: int = 300_000,
+):
+    """One optimization step sequenced as bench-class host dispatches (see
+    block comment above).  All intermediate state stays on device; the only
+    host↔device sync is the caller's loss fetch."""
+    total_loss, grads = _host_loss_grads(
+        params, base_leaves, view_indices, seeds, seeds_grad, refs, sdf_table,
+        base_treedef=base_treedef, loss_name=loss_name, cfg_primal=cfg_primal,
+        cfg_grad=cfg_grad, batch=batch, max_lanes=max_lanes,
+    )
+    return _finish_step_jit(
+        params, adam_state, ema, grads, total_loss, lrs,
+        specs=specs, mask_updates=mask_updates,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("loss_name", "cfg_primal", "cfg_grad", "batch", "specs", "base_treedef", "mask_updates", "render_chunks", "mesh", "grad_remat"))
+def _train_step(
+    params,
+    adam_state,
+    ema,
+    base_leaves,
+    view_indices,
+    seeds,
+    seeds_grad,
+    refs,
+    lrs,
+    sdf_table=None,
+    *,
+    base_treedef,
+    loss_name,
+    cfg_primal: RenderConfig,
+    cfg_grad: RenderConfig,
+    batch: int,
+    specs,
+    mask_updates: bool = False,
+    render_chunks: int = 1,
+    mesh=None,
+    grad_remat: bool = True,
+):
+    base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
+
+    total_loss, grads = _view_batch_loss_grads(
+        params, base, view_indices, seeds, seeds_grad, refs, sdf_table,
+        loss_name=loss_name, cfg_primal=cfg_primal, cfg_grad=cfg_grad,
+        batch=batch, render_chunks=render_chunks, mesh=mesh,
+        grad_remat=grad_remat,
+    )
+    return _finish_step(
+        params, adam_state, ema, grads, total_loss, lrs,
+        specs=specs, mask_updates=mask_updates,
+    )
 
 
 def load_checkpoint(output_dir: str, iteration, specs):
@@ -472,6 +674,7 @@ def optimize_shape(
     write_images: bool = False,
     render_chunks: int = 1,
     mesh=None,
+    dispatch: str = "auto",
 ) -> OptimizationResult:
     """Run a full reconstruction (reference shape_opt.py:32-132 +
     optimize.py: reference rendering happens here from the target SDF).
@@ -479,6 +682,12 @@ def optimize_shape(
     ``mesh``: optional ('views','rays') jax.sharding.Mesh — the per-iteration
     view batch is split across view groups and each view's wavefront across
     ray shards (parallel/sharding.py design, applied to the production step).
+
+    ``dispatch``: 'jit' = the one-XLA-dispatch step; 'host' = the host-sliced
+    step (:func:`_train_step_host`); 'auto' picks per phase — host when the
+    estimated per-step lane work exceeds ``_HOST_DISPATCH_LANES`` (hq/hqq
+    final phases, where the one-dispatch program is a ~90 s execution that
+    has crashed the v5e worker).  Override with DSDF_DISPATCH=jit/host.
     """
     t_start = time.time()
     n_iter = n_iter if n_iter is not None else method_cfg.n_iter
@@ -597,27 +806,47 @@ def optimize_shape(
                     sdf_table = gridops.build_stencil_incremental(params["sdf"])
                 else:
                     sdf_table = gridops.build_stencil(params["sdf"])
-            params, adam_state, ema, loss = _train_step(
-                params,
-                adam_state,
-                ema,
-                tuple(base_leaves),
-                view_indices,
-                jnp.asarray(seeds),
-                jnp.asarray(seeds_grad),
-                refs,
-                lrs,
-                sdf_table,
-                loss_name=opt_cfg.loss,
-                cfg_primal=cfg_primal,
-                cfg_grad=cfg_grad,
-                batch=batch,
-                specs=specs,
-                base_treedef=base_treedef,
-                mask_updates=method_cfg.mask_optimizer,
-                render_chunks=render_chunks,
-                mesh=mesh,
+            # dispatch choice (per phase: film res changes the estimate)
+            b_ = BORDER if cfg_primal.sample_border else 0
+            pw_ = (res[0] + 2 * b_) * (res[1] + 2 * b_)
+            est_lanes = batch * pw_ * (cfg_primal.spp + 3 * cfg_grad.spp)
+            mode = os.environ.get("DSDF_DISPATCH", dispatch)
+            use_host = mode == "host" or (
+                mode == "auto" and est_lanes > _HOST_DISPATCH_LANES and mesh is None
             )
+            if use_host:
+                params, adam_state, ema, loss = _train_step_host(
+                    params, adam_state, ema, tuple(base_leaves), view_indices,
+                    jnp.asarray(seeds), jnp.asarray(seeds_grad), refs, lrs,
+                    sdf_table, loss_name=opt_cfg.loss, cfg_primal=cfg_primal,
+                    cfg_grad=cfg_grad, batch=batch, specs=specs,
+                    base_treedef=base_treedef,
+                    mask_updates=method_cfg.mask_optimizer,
+                    max_lanes=int(os.environ.get("DSDF_HOST_MAX_LANES", 300_000)),
+                )
+            else:
+                params, adam_state, ema, loss = _train_step(
+                    params,
+                    adam_state,
+                    ema,
+                    tuple(base_leaves),
+                    view_indices,
+                    jnp.asarray(seeds),
+                    jnp.asarray(seeds_grad),
+                    refs,
+                    lrs,
+                    sdf_table,
+                    loss_name=opt_cfg.loss,
+                    cfg_primal=cfg_primal,
+                    cfg_grad=cfg_grad,
+                    batch=batch,
+                    specs=specs,
+                    base_treedef=base_treedef,
+                    mask_updates=method_cfg.mask_optimizer,
+                    render_chunks=render_chunks,
+                    mesh=mesh,
+                    grad_remat=_grad_remat_auto(pw_, cfg_grad.spp),
+                )
             loss_values.append(float(loss))
             if verbose and (i % 8 == 0 or i == n_iter - 1):
                 print(f"[{i:4d}] loss = {loss_values[-1]:.5f}  res={res}  sdf={params['sdf'].shape}")

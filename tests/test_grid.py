@@ -136,3 +136,33 @@ def test_prepared_sdf_render_identical():
     a = np.asarray(render(scene, 0, seed=0, cfg=cfg))
     b = np.asarray(render(scene_prep, 0, seed=0, cfg=cfg))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_mm_jet_matches_elementwise(random_grid, monkeypatch):
+    """The MXU matmul weight formulation (grid._jet_contract_mm — the r4
+    TPU lever: 164 → 11.9 ms for a standalone 262k-lane jet) must agree
+    with the elementwise broadcast-product path; with Precision.HIGHEST
+    the matmul is fp32-accurate on every backend."""
+    p = jax.random.uniform(jax.random.PRNGKey(3), (128, 3), minval=-0.05, maxval=1.05)
+
+    monkeypatch.setenv("DSDF_MM_JET", "0")
+    v0, g0, h0 = gridops.grid_eval_all(random_grid, p)
+    val0 = gridops.grid_eval(random_grid, p)
+    monkeypatch.setenv("DSDF_MM_JET", "1")
+    v1, g1, h1 = jax.jit(gridops.grid_eval_all)(random_grid, p)
+    val1 = jax.jit(gridops.grid_eval)(random_grid, p)
+
+    np.testing.assert_allclose(np.asarray(val0), np.asarray(val1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), rtol=1e-3, atol=2e-2)
+
+    # AD through the matmul form: grid-data cotangents must match too
+    def loss(fn_data, env):
+        monkeypatch.setenv("DSDF_MM_JET", env)
+        return jax.grad(lambda d: jnp.sum(gridops.grid_eval_grad(d, p)[1] ** 2)
+                        + jnp.sum(gridops.grid_eval(d, p) ** 2))(fn_data)
+
+    gd0 = loss(random_grid, "0")
+    gd1 = loss(random_grid, "1")
+    np.testing.assert_allclose(np.asarray(gd0), np.asarray(gd1), rtol=1e-4, atol=1e-4)

@@ -247,3 +247,60 @@ def test_mirror_opt_reconstruction():
     assert np.isfinite(losses_arr).all()
     tail = losses_arr[-4:].mean()
     assert tail < losses_arr[0] * 0.9, losses_arr
+
+
+def test_host_dispatch_matches_jit():
+    """The host-sliced loss/grad accumulation (hq/hqq workaround for the
+    90 s one-dispatch program that crashed the v5e worker — BASELINE.md r3)
+    must reproduce the one-dispatch step's loss AND parameter gradients:
+    same lane ids, same seeds, same cotangent chain; differences bounded by
+    float accumulation order.  max_lanes is forced tiny so every view really
+    is sequenced as several spp-strided slice dispatches.  (Parameters after
+    several Adam steps are NOT compared: Adam's sign-like first steps
+    amplify fp-order noise on near-zero gradients into +-lr flips.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from differentiable_sdf_rendering_tpu.models.camera import regular_cameras
+    from differentiable_sdf_rendering_tpu.models.integrator import RenderConfig
+    from differentiable_sdf_rendering_tpu.models.scene import Scene
+    from differentiable_sdf_rendering_tpu.models.scenes_zoo import scene_rig_full, target_sdf
+    from differentiable_sdf_rendering_tpu.ops.sdf import GridSDF
+    from differentiable_sdf_rendering_tpu.opt import shape_opt as so
+
+    res = 16
+    rig = scene_rig_full("block", ("sdf",))
+    cams = regular_cameras(3, 0.0, res, res)
+    sdf0 = GridSDF.create(target_sdf("sphere", 16))
+    base = Scene(sdf=GridSDF.create(jnp.zeros((16, 16, 16))), bsdf=rig["bsdf"],
+                 emitter=rig["emitter"], cameras=cams, mesh=rig["mesh"],
+                 area_emitter=rig["area_emitter"])
+    params = {"sdf": sdf0.data}
+    cfg_g = RenderConfig(integrator="sdf_direct_reparam", spp=4)
+    cfg_p = RenderConfig(integrator="sdf_direct_reparam", spp=8)
+    refs = jnp.stack([
+        jnp.full((res, res, 3), 0.25), jnp.full((res, res, 3), 0.5),
+        jnp.full((res, res, 3), 0.75),
+    ])
+    vis = jnp.asarray([0, 1, 2], jnp.int32)
+    seeds = jnp.asarray([3, 4, 5])
+    seeds_g = jnp.asarray([7, 8, 9])
+    leaves, treedef = jax.tree_util.tree_flatten(base)
+
+    loss_j, grads_j = jax.jit(
+        lambda p: so._view_batch_loss_grads(
+            p, base, vis, seeds, seeds_g, refs, None, loss_name="l1",
+            cfg_primal=cfg_p, cfg_grad=cfg_g, batch=3, render_chunks=1, mesh=None,
+        )
+    )(params)
+    loss_h, grads_h = so._host_loss_grads(
+        params, tuple(leaves), vis, seeds, seeds_g, refs, None,
+        base_treedef=treedef, loss_name="l1", cfg_primal=cfg_p, cfg_grad=cfg_g,
+        batch=3, max_lanes=(res + 4) ** 2 * 2,  # forces 2-spp-strided slices
+    )
+
+    np.testing.assert_allclose(float(loss_h), float(loss_j), rtol=1e-5)
+    gj, gh = np.asarray(grads_j["sdf"]), np.asarray(grads_h["sdf"])
+    scale = np.abs(gj).max()
+    assert scale > 0
+    np.testing.assert_allclose(gh, gj, rtol=1e-3, atol=2e-5 * scale)
