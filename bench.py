@@ -291,11 +291,18 @@ def trace_variants():
         "stencil+compact4": TraceParams(compact_stages=C4),
         "stencil+compact8": TraceParams(compact_stages=(8, 64)),
         "stencil+c4+unroll2": TraceParams(compact_stages=C4, unroll=2),
+        # r4: earlier/finer compaction schedules — stage-0 full-width
+        # iterations are ~half the trace cost (slice_decomp_r4)
+        "stencil+c2-4": TraceParams(compact_stages=(2, 4, 16, 128)),
+        "stencil+c2-8": TraceParams(compact_stages=(2, 8, 64)),
+        "stencil+c4-8": TraceParams(compact_stages=(4, 8, 32, 128)),
         "norefine+c4": TraceParams(compact_stages=C4, refine_intersection=False),
+        "refine_fixed+c4": TraceParams(compact_stages=C4, refine="fixed"),
         "pertap+c4": None,  # stencil suppressed via bare (unprepared) path
         "overrelax+c4": TraceParams(over_relax=1.4, compact_stages=C4),
         # the grad-mode warp trace (jets + accumulators, the adjoint driver)
         "warp+c4": ("warp", TraceParams(compact_stages=C4)),
+        "warp+c2-4": ("warp", TraceParams(compact_stages=(2, 4, 16, 128))),
     }
     times = {}
     for name, params in variants.items():

@@ -116,14 +116,14 @@ def _ray_intersect(scene, o, d, depth, cfg: RenderConfig, mode, uni_conv=None, m
                                         refine_active=refine_active)
     if scene.mesh is None:
         return its_t, d1, det, None
-    from ..ops.mesh_intersect import mesh_intersect
+    from ..ops.mesh_intersect import mesh_intersect_full
 
     # Intersect the *reparameterized* ray, like the reference's hybrid path
     # (reparam.py:218-223): mesh radiance seen past a moving SDF silhouette
     # then carries the correct boundary gradient through d1.
-    mt, mn = mesh_intersect(scene.mesh, o, d1)
+    mt, mn, malb, mmir = mesh_intersect_full(scene.mesh, o, d1)
     its_t = jnp.minimum(its_t, mt)
-    return its_t, d1, det, (mt, mn)
+    return its_t, d1, det, (mt, mn, malb, mmir)
 
 
 def _compute_si(scene, o, d1, its_t, maux, differentiable):
@@ -133,7 +133,7 @@ def _compute_si(scene, o, d1, its_t, maux, differentiable):
     si = compute_surface_interaction(scene.sdf, o, d1, its_t, differentiable=differentiable)
     if maux is None:
         return si, jnp.zeros(its_t.shape, bool)
-    mt, mn = maux
+    mt, mn = maux[0], maux[1]
     is_mesh = jnp.isfinite(mt) & (mt <= its_t)
     t_m = jnp.where(is_mesh, mt, 0.0)
     p_m = o + t_m[..., None] * d1
@@ -160,12 +160,12 @@ def _si_where(m, a, b):
     )
 
 
-def _mesh_diffuse(scene, wo_local):
-    """Lambertian eval/pdf of the auxiliary mesh's own BSDF — mixed scenes
-    give extra geometry a BSDF distinct from the SDF's (result_utils.py
-    studio rig)."""
+def _mesh_diffuse(albedo, wo_local):
+    """Lambertian eval/pdf of an auxiliary-mesh surface — mixed scenes give
+    extra geometry BSDFs distinct from the SDF's (result_utils.py studio
+    rig).  ``albedo``: the per-lane hit-triangle reflectance (..., 3)."""
     cos = jnp.maximum(wo_local[..., 2], 0.0)
-    return scene.mesh.albedo * (cos / jnp.pi)[..., None], cos / jnp.pi
+    return albedo * (cos / jnp.pi)[..., None], cos / jnp.pi
 
 
 def _conv_uni(uni, cfg, depth):
@@ -271,34 +271,42 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
         si = si.replace(n=jax.lax.stop_gradient(si.n), wi=jax.lax.stop_gradient(si.wi))
 
     tint = jnp.ones(o.shape[:-1] + (3,), o.dtype)
-    if scene.mesh is not None and scene.mesh.material == "mirror":
+    m_alb = maux[2] if maux is not None else None
+    if scene.mesh is not None and scene.mesh.material != "diffuse":
         # One specular bounce (the reference's mirror-opt scene,
-        # opt_configs.py:257-273): lanes whose nearest hit is the mirror
-        # rect continue along the reflected ray.  The depth-1 re-intersect
-        # is itself reparameterized, so silhouette gradients of the SDF
-        # *seen in the mirror* flow through the reflected direction — the
-        # nested/indirect-reparam capability the scene demonstrates.
+        # opt_configs.py:257-273): lanes whose nearest hit is a mirror
+        # triangle continue along the reflected ray.  The depth-1
+        # re-intersect is itself reparameterized, so silhouette gradients of
+        # the SDF *seen in the mirror* flow through the reflected direction —
+        # the nested/indirect-reparam capability the scene demonstrates.
+        # With material="mixed" the bounce applies per lane (hit-triangle
+        # mirror bit); diffuse-mesh lanes keep their Lambertian shading.
         assert cfg.warp_kind != "conv", "mirror scenes unsupported with conv warp"
         assert not cfg.decouple_reparam, "mirror scenes unsupported with decouple_reparam"
-        n_m = si.n  # mirror lanes carry the (static) rect normal
+        is_mirror = is_mesh & maux[3]
+        n_m = si.n  # mirror lanes carry the (static) facet normal
         d_r = d1 - 2.0 * jnp.sum(d1 * n_m, -1, keepdims=True) * n_m
-        o_r = jnp.where(is_mesh[..., None], si.p + d_r * cfg.shadow_eps, o)
-        d_r = jnp.where(is_mesh[..., None], d_r, d1)
+        o_r = jnp.where(is_mirror[..., None], si.p + d_r * cfg.shadow_eps, o)
+        d_r = jnp.where(is_mirror[..., None], d_r, d1)
         t2, d2, det2, maux2 = _ray_intersect(scene, o_r, d_r, 1, cfg, mode, None)
         si2, is_mesh2 = _compute_si(
             scene, o_r, d2, t2, maux2,
             differentiable=reparametrize and not cfg.debug_nondiff_si,
         )
-        # merge: mirror lanes take the reflected-hit state; a second mirror
-        # hit absorbs (planar mirror: only grazing lanes can re-hit)
-        si = _si_where(is_mesh, si2.replace(valid=si2.valid & ~is_mesh2), si)
-        its_t = jnp.where(is_mesh, t2, its_t)
-        o = jnp.where(is_mesh[..., None], o_r, o)
-        dl = jnp.where(is_mesh[..., None], d2, d1)  # emitted-lookup dir
-        det = det * jnp.where(is_mesh, det2, 1.0)
-        tint = jnp.where(is_mesh[..., None], scene.mesh.albedo, tint)
-        is_mesh = jnp.zeros_like(is_mesh)
-        maux = None
+        # merge: mirror lanes take the reflected-hit state; a second mesh
+        # hit seen in the mirror absorbs (planar mirror: only grazing lanes
+        # can re-hit the mirror; reflected diffuse-mesh shading is a
+        # documented simplification)
+        si = _si_where(is_mirror, si2.replace(valid=si2.valid & ~is_mesh2), si)
+        its_t = jnp.where(is_mirror, t2, its_t)
+        o = jnp.where(is_mirror[..., None], o_r, o)
+        dl = jnp.where(is_mirror[..., None], d2, d1)  # emitted-lookup dir
+        det = det * jnp.where(is_mirror, det2, 1.0)
+        tint = jnp.where(is_mirror[..., None], m_alb, tint)
+        is_mesh = is_mesh & ~is_mirror
+        if scene.mesh.material == "mirror":
+            maux = None  # compile the Lambertian mesh shading out entirely
+            m_alb = None
     else:
         dl = d1
 
@@ -384,7 +392,7 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     if cfg.use_mis:
         bsdf_val, bsdf_pdf = scene.bsdf.eval_pdf(si, wo)
         if maux is not None:
-            mesh_val, mesh_pdf = _mesh_diffuse(scene, wo)
+            mesh_val, mesh_pdf = _mesh_diffuse(m_alb, wo)
             bsdf_val = jnp.where(is_mesh[..., None], mesh_val, bsdf_val)
             bsdf_pdf = jnp.where(is_mesh, mesh_pdf, bsdf_pdf)
         w_mis = mis_weight(ds_pdf, jax.lax.stop_gradient(bsdf_pdf))
@@ -392,7 +400,7 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
     else:
         bsdf_val = scene.bsdf.eval(si, wo)
         if maux is not None:
-            bsdf_val = jnp.where(is_mesh[..., None], _mesh_diffuse(scene, wo)[0], bsdf_val)
+            bsdf_val = jnp.where(is_mesh[..., None], _mesh_diffuse(m_alb, wo)[0], bsdf_val)
         nee = visibility[..., None] * bsdf_val * emitter_val
     nee_throughput = (
         jax.lax.stop_gradient(throughput) if cfg.debug_detach_nee_throughput else throughput
@@ -419,7 +427,7 @@ def _sample_direct(scene, o, d, uni, cfg: RenderConfig, mode):
             # mesh lanes: Lambertian f with the mesh albedo; bs_pdf stays the
             # sampler's true pdf, so the estimator remains unbiased (for the
             # default diffuse scene BSDF the cosine sampler matches exactly)
-            bsdf_val = jnp.where(is_mesh[..., None], _mesh_diffuse(scene, bs_wo)[0], bsdf_val)
+            bsdf_val = jnp.where(is_mesh[..., None], _mesh_diffuse(m_alb, bs_wo)[0], bsdf_val)
         # Emitted radiance the BSDF ray reaches: environment if it escapes
         # the SDF/mesh, the area emitter if its rect is the nearest hit.
         L_b, t_light_b = _emitted_along(scene, jax.lax.stop_gradient(bsdf_o), d_b)

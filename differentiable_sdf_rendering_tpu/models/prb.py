@@ -50,28 +50,32 @@ def _merged_intersect(scene, o, d, trace, maxt=jnp.inf):
     its_t = sphere_trace(scene.sdf, o, d, trace, maxt=maxt)
     if scene.mesh is None:
         return its_t, None
-    from ..ops.mesh_intersect import mesh_intersect
+    from ..ops.mesh_intersect import mesh_intersect_full
 
-    mt, mn = mesh_intersect(scene.mesh, o, d)
+    mt, mn, malb, mmir = mesh_intersect_full(scene.mesh, o, d)
     mt = jnp.where(mt <= maxt, mt, jnp.inf)
-    return jnp.minimum(its_t, mt), (mt, mn)
+    return jnp.minimum(its_t, mt), (mt, mn, malb, mmir)
 
 
-def _mesh_masks(scene, is_mesh):
-    """(is_diffuse_mesh, is_mirror) — material is static, so one of the two
-    is compiled to all-False."""
-    if scene.mesh is None or scene.mesh.material != "mirror":
+def _mesh_masks(scene, is_mesh, maux):
+    """(is_diffuse_mesh, is_mirror) — the static material summary compiles
+    one side to all-False for single-material soups; "mixed" soups split per
+    lane on the hit triangle's mirror bit (multi-shape assembly)."""
+    if scene.mesh is None or scene.mesh.material == "diffuse":
         return is_mesh, jnp.zeros_like(is_mesh)
-    return jnp.zeros_like(is_mesh), is_mesh
+    if scene.mesh.material == "mirror":
+        return jnp.zeros_like(is_mesh), is_mesh
+    mir = is_mesh & maux[3]
+    return is_mesh & ~mir, mir
 
 
-def _bsdf_eval_pdf(scene, si, wo, is_dmesh, is_mirror):
+def _bsdf_eval_pdf(scene, si, wo, is_dmesh, is_mirror, m_alb=None):
     """Material-blended BSDF eval/pdf: the SDF's own BSDF, overridden on
-    auxiliary-mesh lanes (Lambertian albedo) and zero on mirror lanes
-    (delta lobe has no continuous density)."""
+    auxiliary-mesh lanes (Lambertian with the hit triangle's albedo) and
+    zero on mirror lanes (delta lobe has no continuous density)."""
     val, pdf = scene.bsdf.eval_pdf(si, wo)
     if scene.mesh is not None:
-        mval, mpdf = _mesh_diffuse(scene, wo)
+        mval, mpdf = _mesh_diffuse(m_alb, wo)
         val = jnp.where(is_dmesh[..., None], mval, val)
         pdf = jnp.where(is_dmesh, mpdf, pdf)
         val = jnp.where(is_mirror[..., None], 0.0, val)
@@ -79,7 +83,7 @@ def _bsdf_eval_pdf(scene, si, wo, is_dmesh, is_mirror):
     return val, pdf
 
 
-def _bsdf_sample(scene, si, u2, is_dmesh, is_mirror):
+def _bsdf_sample(scene, si, u2, is_dmesh, is_mirror, m_alb=None):
     """Material-blended BSDF sample → (wo_local, pdf, weight, delta_lane).
 
     Mirror lanes continue deterministically in the local mirror direction
@@ -94,9 +98,9 @@ def _bsdf_sample(scene, si, u2, is_dmesh, is_mirror):
         wo = jnp.where(is_dmesh[..., None], wo_c, wo)
         pdf = jnp.where(is_dmesh, jnp.where(ok_d, pdf_c, 0.0), pdf)
         weight = jnp.where(
-            is_dmesh[..., None], jnp.where(ok_d[..., None], scene.mesh.albedo, 0.0), weight
+            is_dmesh[..., None], jnp.where(ok_d[..., None], m_alb, 0.0), weight
         )
-        if scene.mesh.material == "mirror":
+        if scene.mesh.material != "diffuse":
             wi = si.wi
             wo_m = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
             ok_m = is_mirror & (wi[..., 2] > 0)
@@ -104,7 +108,7 @@ def _bsdf_sample(scene, si, u2, is_dmesh, is_mirror):
             pdf = jnp.where(is_mirror, jnp.where(ok_m, 1.0, 0.0), pdf)
             weight = jnp.where(
                 is_mirror[..., None],
-                jnp.where(ok_m[..., None], scene.mesh.albedo, 0.0),
+                jnp.where(ok_m[..., None], m_alb, 0.0),
                 weight,
             )
             delta = delta | is_mirror
@@ -132,7 +136,8 @@ def _trace_primal(scene, o, d, uni, cfg):
         light_first = jnp.isfinite(t_light) & (t_light < its_t)
         valid = jnp.isfinite(its_t) & active & ~light_first
         si, is_mesh = _compute_si(scene, ray_o, ray_d, its_t, maux, differentiable=False)
-        is_dmesh, is_mirror = _mesh_masks(scene, is_mesh)
+        is_dmesh, is_mirror = _mesh_masks(scene, is_mesh, maux)
+        m_alb = maux[2] if maux is not None else jnp.zeros(n + (3,))
 
         # Le: emitter seen directly (env on escaped lanes, area-rect front
         # face when nearest); the rect is opaque, so its lanes terminate.
@@ -154,7 +159,7 @@ def _trace_primal(scene, o, d, uni, cfg):
             (ds_pdf > 0)[..., None], ds_rad / jnp.maximum(ds_pdf, 1e-12)[..., None], 0.0
         )
         bsdf_val_em, bsdf_pdf_em = _bsdf_eval_pdf(
-            scene, si, si.to_local(ds_d), is_dmesh, is_mirror
+            scene, si, si.to_local(ds_d), is_dmesh, is_mirror, m_alb
         )
         mis_direct = mis_weight(ds_pdf, bsdf_pdf_em)
         Lr_dir = jnp.where(
@@ -165,7 +170,7 @@ def _trace_primal(scene, o, d, uni, cfg):
 
         # BSDF sampling (deterministic reflection on mirror lanes)
         bs_wo, bs_pdf, bs_weight, bs_delta = _bsdf_sample(
-            scene, si, u[:, 2:4], is_dmesh, is_mirror
+            scene, si, u[:, 2:4], is_dmesh, is_mirror, m_alb
         )
         ray_next_d = si.to_world(bs_wo)
         ray_next_o = si.p + ray_next_d * cfg.shadow_eps
@@ -196,7 +201,7 @@ def _trace_primal(scene, o, d, uni, cfg):
                 shadow_maxt=shadow_maxt,
                 active_em=active_em, bs_wo=bs_wo, bs_pdf=bs_pdf, bs_weight=bs_weight,
                 mis_direct=mis_direct, is_dmesh=is_dmesh, is_mirror=is_mirror,
-                si=si,
+                m_alb=m_alb, si=si,
             )
         )
         ray_o, ray_d = ray_next_o, ray_next_d
@@ -332,7 +337,7 @@ def sample_prb(scene, o, d, uni, cfg, mode):
             em_det = jnp.ones_like(det_k)
         wo_em = si_cur.to_local(r["ds_d"])
         bsdf_value_em, _ = _bsdf_eval_pdf(
-            scene, si_cur, wo_em, r["is_dmesh"], r["is_mirror"]
+            scene, si_cur, wo_em, r["is_dmesh"], r["is_mirror"], r["m_alb"]
         )
         Lr_dir = jnp.where(
             (r["active_em"] & ~r["occluded"])[..., None],
@@ -349,7 +354,8 @@ def sample_prb(scene, o, d, uni, cfg, mode):
             L_next = Lsuf[k + 1]
             ray_next_d = jax.lax.stop_gradient(si_cur.to_world(r["bs_wo"]))
             wo = si_cur.to_local(ray_next_d)  # cosine-term derivatives
-            bsdf_val, _ = _bsdf_eval_pdf(scene, si_cur, wo, r["is_dmesh"], r["is_mirror"])
+            bsdf_val, _ = _bsdf_eval_pdf(
+                scene, si_cur, wo, r["is_dmesh"], r["is_mirror"], r["m_alb"])
             # mirror lanes: eval ≡ 0 → the ratio reduces to primal 1 with
             # zero derivative; their indirect radiance L_next still passes
             # through det_k (the reflected silhouette's boundary gradient)
@@ -380,12 +386,14 @@ def sample_prb(scene, o, d, uni, cfg, mode):
             si_next_det = r_next["si"]
             u_fresh = jax.lax.stop_gradient(uni[:, 6 + 8 * k + 6 : 6 + 8 * k + 8])
             bs_wo_next, bs_pdf_next, _, _ = _bsdf_sample(
-                scene, si_next_det, u_fresh, r_next["is_dmesh"], r_next["is_mirror"]
+                scene, si_next_det, u_fresh, r_next["is_dmesh"],
+                r_next["is_mirror"], r_next["m_alb"]
             )
             wi_next_w = normalize(si_cur.p - si_next_det.p)
             si_next_att = si_next_det.replace(wi=si_next_det.to_local(wi_next_w))
             bsdf_val_next, _ = _bsdf_eval_pdf(
-                scene, si_next_att, bs_wo_next, r_next["is_dmesh"], r_next["is_mirror"]
+                scene, si_next_att, bs_wo_next, r_next["is_dmesh"],
+                r_next["is_mirror"], r_next["m_alb"]
             )
             ratio_next = replace_grad(
                 jnp.ones_like(bsdf_val_next),
@@ -405,7 +413,7 @@ def sample_prb(scene, o, d, uni, cfg, mode):
             wo_prev_w = normalize(si_cur.p - si_prev_det.p)
             bsdf_val_prev, _ = _bsdf_eval_pdf(
                 scene, si_prev_det, si_prev_det.to_local(wo_prev_w),
-                r_prev["is_dmesh"], r_prev["is_mirror"],
+                r_prev["is_dmesh"], r_prev["is_mirror"], r_prev["m_alb"],
             )
             ratio_prev = replace_grad(
                 jnp.ones_like(bsdf_val_prev),

@@ -166,6 +166,21 @@ def load_scene_file(path: str, resx: int | None = None, resy: int | None = None,
         bsdf=_load_bsdf(spec.get("bsdf", {})),
         emitter=_load_emitter(spec.get("emitter", {}), base_dir),
         cameras=_load_cameras(spec.get("cameras", {}), resx, resy),
-        mesh=_load_mesh(spec.get("mesh"), base_dir),
+        mesh=_load_meshes(spec, base_dir),
         area_emitter=_load_area_emitter(spec.get("area_emitter")),
     )
+
+
+def _load_meshes(spec, base_dir):
+    """``"mesh": {...}`` (one shape) or ``"meshes": [{...}, ...]`` (an
+    arbitrary shape set with per-shape materials, merged into one soup —
+    the reference's Mitsuba shape list, reparam.py:209-232)."""
+    from ..ops.mesh_intersect import TriangleMesh
+
+    specs = []
+    if spec.get("mesh") is not None:
+        specs.append(spec["mesh"])
+    specs.extend(spec.get("meshes", []))
+    if not specs:
+        return None
+    return TriangleMesh.merge([_load_mesh(s, base_dir) for s in specs])

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-__all__ = ["TriangleMesh", "mesh_intersect"]
+__all__ = ["TriangleMesh", "mesh_intersect", "mesh_intersect_full"]
 
 _EPS = 1e-9
 
@@ -34,22 +34,32 @@ _EPS = 1e-9
 class TriangleMesh:
     """Triangle soup in precomputed edge form (v0 + u·e1 + v·e2).
 
-    ``albedo`` is the mesh surface's Lambertian reflectance — mixed scenes
-    give auxiliary geometry its own BSDF, distinct from the SDF's
-    (reference ``figures/result_utils.py:60-76``).  ``material`` selects it:
-    ``"diffuse"`` (Lambertian ``albedo``) or ``"mirror"`` (smooth conductor
-    with specular reflectance ``albedo`` — the static mirror of the
-    reference's ``mirror-opt`` scenes, opt_configs.py:257-273).  Static so
-    the integrators compile the delta-bounce path out of pure-diffuse
-    scenes.
+    ``albedo`` is PER-TRIANGLE (T, 3) Lambertian/specular reflectance and
+    ``mirror`` a per-triangle material bit — an arbitrary shape set with
+    per-shape materials collapses into one soup via :meth:`merge`, the
+    TPU-native equivalent of the reference's Mitsuba shape list
+    (``integrators/reparam.py:209-232``; its studio relight rig carries
+    several shapes, ``figures/result_utils.py:48-76``).  ``material`` is
+    the STATIC summary ∈ {"diffuse", "mirror", "mixed"} so integrators
+    compile the delta-bounce path out of pure-diffuse scenes
+    (opt_configs.py:257-273 mirror-opt keeps "mirror").
     """
 
     v0: jnp.ndarray      # (T, 3)
     e1: jnp.ndarray      # (T, 3)
     e2: jnp.ndarray      # (T, 3)
     n: jnp.ndarray       # (T, 3) unit geometric normals
-    albedo: jnp.ndarray  # (3,)
+    albedo: jnp.ndarray  # (T, 3) per-triangle reflectance
     material: str = struct.field(pytree_node=False, default="diffuse")
+    mirror: jnp.ndarray = None  # (T,) bool, per-triangle delta-material bit
+
+    def __post_init__(self):
+        if self.mirror is None:
+            object.__setattr__(
+                self,
+                "mirror",
+                jnp.full((self.v0.shape[0],), self.material == "mirror", bool),
+            )
 
     @classmethod
     def create(cls, vertices, faces, albedo=(0.5, 0.5, 0.5), material="diffuse"):
@@ -60,8 +70,28 @@ class TriangleMesh:
         e1, e2 = v1 - v0, v2 - v0
         n = jnp.cross(e1, e2)
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), _EPS)
-        return cls(v0=v0, e1=e1, e2=e2, n=n, albedo=jnp.asarray(albedo, jnp.float32),
-                   material=material)
+        alb = jnp.broadcast_to(
+            jnp.asarray(albedo, jnp.float32), (v0.shape[0], 3)
+        )
+        return cls(v0=v0, e1=e1, e2=e2, n=n, albedo=alb, material=material)
+
+    @classmethod
+    def merge(cls, meshes):
+        """Concatenate several meshes (each with its own material) into one
+        soup — multi-shape scene assembly (VERDICT r3 #6)."""
+        meshes = list(meshes)
+        assert meshes, "merge() needs at least one mesh"
+        if len(meshes) == 1:
+            return meshes[0]
+        mats = {m.material for m in meshes}
+        material = mats.pop() if len(mats) == 1 else "mixed"
+        cat = lambda f: jnp.concatenate([f(m) for m in meshes], axis=0)
+        return cls(
+            v0=cat(lambda m: m.v0), e1=cat(lambda m: m.e1),
+            e2=cat(lambda m: m.e2), n=cat(lambda m: m.n),
+            albedo=cat(lambda m: m.albedo), material=material,
+            mirror=cat(lambda m: m.mirror),
+        )
 
     @classmethod
     def rect(cls, corner, e0, e1, albedo=(0.5, 0.5, 0.5), material="diffuse"):
@@ -89,10 +119,11 @@ class TriangleMesh:
         return self.v0.shape[0]
 
 
-def _intersect_chunk(v0, e1, e2, tn, o, d, mint, maxt):
+def _intersect_chunk(v0, e1, e2, tn, alb, mir, o, d, mint, maxt):
     """Möller–Trumbore of rays (..., 3) against a (C, 3) triangle chunk.
 
-    Returns the per-lane nearest (t, normal) over the chunk, t = +inf miss.
+    Returns the per-lane nearest (t, normal, albedo, mirror-bit) over the
+    chunk, t = +inf miss.
     """
     ox = o[..., None, :]          # (..., 1, 3)
     dx = d[..., None, :]
@@ -117,38 +148,55 @@ def _intersect_chunk(v0, e1, e2, tn, o, d, mint, maxt):
     j = jnp.argmin(jax.lax.stop_gradient(t), axis=-1)       # (...,)
     t_best = jnp.take_along_axis(t, j[..., None], -1)[..., 0]
     n_best = tn[j]                                          # (..., 3)
-    return t_best, n_best
+    return t_best, n_best, alb[j], mir[j]
 
 
-def mesh_intersect(mesh: TriangleMesh, o, d, mint=1e-4, maxt=jnp.inf, chunk: int = 128):
-    """Nearest-hit distance and geometric normal of rays against ``mesh``.
+def mesh_intersect_full(mesh: TriangleMesh, o, d, mint=1e-4, maxt=jnp.inf, chunk: int = 128):
+    """Nearest-hit distance, geometric normal and hit-triangle material
+    attributes of rays against ``mesh``.
 
-    Rays ``o``/``d``: (..., 3).  Returns ``(t, n)`` with ``t = +inf`` on
-    miss and a zero-safe normal.  Triangles are processed in static chunks
-    via ``lax.scan`` so lane-count × triangle-count intermediates stay
-    bounded (the wavefront is already large).  The normal is oriented to
-    face the ray (two-sided, like the reference's auxiliary geometry).
+    Rays ``o``/``d``: (..., 3).  Returns ``(t, n, albedo, mirror)`` with
+    ``t = +inf`` on miss, a zero-safe normal, the hit triangle's (..., 3)
+    reflectance and its (...,) delta-material bit (multi-shape scenes,
+    reference reparam.py:209-232).  Triangles are processed in static
+    chunks via ``lax.scan`` so lane-count × triangle-count intermediates
+    stay bounded (the wavefront is already large).  The normal is oriented
+    to face the ray (two-sided, like the reference's auxiliary geometry).
     """
     mint = jnp.broadcast_to(jnp.asarray(mint, o.dtype), o.shape[:-1])
     maxt = jnp.broadcast_to(jnp.asarray(maxt, o.dtype), o.shape[:-1])
     T = mesh.n_triangles
     if T <= chunk:
-        t, n = _intersect_chunk(mesh.v0, mesh.e1, mesh.e2, mesh.n, o, d, mint, maxt)
+        t, n, alb, mir = _intersect_chunk(
+            mesh.v0, mesh.e1, mesh.e2, mesh.n, mesh.albedo, mesh.mirror,
+            o, d, mint, maxt,
+        )
     else:
         pad = (-T) % chunk
         def padded(x):
-            return jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], 0) if pad else x
-        v0, e1, e2, tn = (padded(x).reshape(-1, chunk, 3)
-                          for x in (mesh.v0, mesh.e1, mesh.e2, mesh.n))
+            z = jnp.zeros((pad,) + x.shape[1:], x.dtype)
+            return jnp.concatenate([x, z], 0) if pad else x
+        v0, e1, e2, tn, alb3 = (padded(x).reshape(-1, chunk, 3)
+                                for x in (mesh.v0, mesh.e1, mesh.e2, mesh.n, mesh.albedo))
+        mirc = padded(mesh.mirror).reshape(-1, chunk)
         # degenerate padding triangles (e1 = e2 = 0) never report a hit
 
         def body(carry, tri):
-            tb, nb = carry
-            tc, nc = _intersect_chunk(*tri, o, d, mint, maxt)
+            tb, nb, ab, mb = carry
+            tc, nc, ac, mc = _intersect_chunk(*tri, o, d, mint, maxt)
             closer = tc < tb
-            return (jnp.where(closer, tc, tb), jnp.where(closer[..., None], nc, nb)), None
+            c3 = closer[..., None]
+            return (jnp.where(closer, tc, tb), jnp.where(c3, nc, nb),
+                    jnp.where(c3, ac, ab), jnp.where(closer, mc, mb)), None
 
-        init = (jnp.full(o.shape[:-1], jnp.inf, o.dtype), jnp.zeros(o.shape, o.dtype))
-        (t, n), _ = jax.lax.scan(body, init, (v0, e1, e2, tn))
+        init = (jnp.full(o.shape[:-1], jnp.inf, o.dtype), jnp.zeros(o.shape, o.dtype),
+                jnp.zeros(o.shape, o.dtype), jnp.zeros(o.shape[:-1], bool))
+        (t, n, alb, mir), _ = jax.lax.scan(body, init, (v0, e1, e2, tn, alb3, mirc))
     n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0.0, -n, n)
+    return t, n, alb, mir
+
+
+def mesh_intersect(mesh: TriangleMesh, o, d, mint=1e-4, maxt=jnp.inf, chunk: int = 128):
+    """Nearest-hit ``(t, n)`` only (occlusion queries and legacy callers)."""
+    t, n, _, _ = mesh_intersect_full(mesh, o, d, mint, maxt, chunk)
     return t, n

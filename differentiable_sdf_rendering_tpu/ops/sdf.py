@@ -40,6 +40,12 @@ class TraceParams:
     over_relax: float = 1.0
     trace_eps: float = 1e-6
     refine_intersection: bool = True
+    # Intersection root polisher (ops/trace._refine): 'newton' = guarded
+    # Newton toward the ε/2 band center (~2 evals; default — the fixed-rate
+    # pass was a measured 26% of a full trace on v5e), 'fixed' = the
+    # reference's decreasing-rate iteration (bit-faithful to
+    # shapes.py:244-257).  Both accept the identical 0 < f ≤ ε band.
+    refine: str = "newton"
     use_extra_weight: bool = True
     extra_thresh: float = 0.05
     sil_weight_offset: float = 0.05

@@ -254,21 +254,48 @@ def sphere_trace(sdf, o, d, params: TraceParams = TraceParams(), maxt=_INF, acti
 
 
 def _refine(sdf, o, d, its_t, trace_eps, params: TraceParams, refine_active=True):
-    """Intersection refinement at decreasing rate 10/(10+i) (shapes.py:244-257).
+    """Intersection refinement into the (0, ε] shell.
+
+    Two interchangeable root polishers behind ``params.refine`` (both stop
+    at the SAME acceptance band as the reference — ``0 < f ≤ ε`` — so
+    downstream consumers see the same contract; only the within-band
+    placement differs by O(ε)):
+
+    * ``'fixed'`` — the reference's decreasing-rate iteration
+      ``t += f·10/(10+i)`` (shapes.py:244-257), bit-faithful.
+    * ``'newton'`` — guarded Newton toward the band center ε/2:
+      ``t += (f − ε/2)·rate`` with ``rate = min(−1/(d·∇f), 4)`` where the
+      slope is usefully negative, else the fixed-rate fallback.  Converges
+      in ~2 evaluations instead of ~10 — the refine pass was a measured
+      26% of a full 262 k-lane trace on v5e (r4 sweep) because the
+      decreasing-rate update creeps into the band slowly.  The gradient
+      evaluation shares the tap gather, so a Newton step costs the same
+      HBM traffic as a value-only step.
 
     Runs as a compacted while_loop rather than a full-width ``fori_loop``:
     only hit lanes (typically ~30% of the wavefront) refine, and a lane stops
-    once it converges into the ±ε shell — the full-width loop paid 10 grid
+    once it converges into the shell — the full-width loop paid its grid
     evaluations for EVERY lane (miss lanes included, evaluated at t=inf).
-    Per-lane trajectories are bit-identical: every lane starts at iteration 0
+    Per-lane trajectories are deterministic: every lane starts at iteration 0
     and refines contiguously, so its private step counter ``i`` equals the
     original loop index for as long as it refines.
     """
+    newton = params.refine == "newton"
 
     def body(s, c):
         refining, t, i = s["active"], s["t"], s["i"]
-        f = sdf.eval(c["o"] + t[..., None] * c["d"]) * params.step_scale
-        t_new = jnp.where(refining, t + f * (10.0 / (10.0 + i)), t)
+        x = c["o"] + t[..., None] * c["d"]
+        if newton:
+            f, g = sdf.eval_and_grad(x)
+            f = f * params.step_scale
+            slope = dot(g, c["d"]) * params.step_scale
+            rate_fb = 10.0 / (10.0 + i)
+            rate = jnp.where(slope < -0.25, jnp.minimum(-1.0 / slope, 4.0), rate_fb)
+            step = (f - 0.5 * c["trace_eps"]) * rate
+        else:
+            f = sdf.eval(x) * params.step_scale
+            step = f * (10.0 / (10.0 + i))
+        t_new = jnp.where(refining, t + step, t)
         refining = refining & ((f <= 0) | (f > c["trace_eps"])) & (i + 1 < params.refine_steps)
         return {"active": refining, "t": t_new, "i": i + 1}
 
@@ -285,13 +312,13 @@ def _refine(sdf, o, d, its_t, trace_eps, params: TraceParams, refine_active=True
     }
     # Most lanes are inactive from iteration 0, so compaction kicks in
     # immediately at the n/2 stage (the full-width loop exits its first
-    # cond).  unroll=5: refining lanes mostly run all `refine_steps`
-    # iterations (the decreasing-rate update rarely lands in the ±ε shell
-    # early), and each while iteration costs a fixed ~0.2 ms on this
-    # runtime — unrolling cut the measured refine share of a plain 262k
-    # trace from 21 ms to ~a third (r3 device sweep).  Masked body ⇒
-    # bit-identical refined t.
-    s = _staged_while(body, state, consts, stages=(2, 8, 64), unroll=5)
+    # cond).  unroll: fixed-rate lanes mostly run all `refine_steps`
+    # iterations (unroll 5 cut the measured refine share of a plain 262k
+    # trace from 21 ms to ~a third, r3 device sweep); Newton lanes converge
+    # in ~2, so deeper unrolling only wastes masked evals.  Masked body ⇒
+    # deterministic refined t either way.
+    s = _staged_while(body, state, consts, stages=(2, 8, 64),
+                      unroll=2 if newton else 5)
     return jnp.where(refining0, s["t"], its_t)
 
 

@@ -453,6 +453,14 @@ _finish_step_jit = jax.jit(_finish_step, static_argnames=("specs", "mask_updates
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(None)
+def _u32(c: int):
+    """Cached device scalar: a fresh ``jnp.uint32(c)`` per dispatch is a
+    blocking host→device put (~27 ms each through the axon tunnel — ~576
+    per hq iteration before caching)."""
+    return jnp.uint32(c)
+
+
 def _host_slice_spp(pw: int, spp: int, max_lanes: int) -> int:
     """Largest divisor k of ``spp`` with ``pw·k ≤ max_lanes`` (min 1)."""
     k = max(1, min(spp, max_lanes // max(pw, 1)))
@@ -542,7 +550,7 @@ def _host_loss_grads(
         block = jnp.zeros(shape5, jnp.float32)
         for c in range(cfg_primal.spp // kp):
             block = _accum_block_slice(
-                block, params, base_leaves, sdf_table, cam, jnp.uint32(c), seed_p,
+                block, params, base_leaves, sdf_table, cam, _u32(c), seed_p,
                 base_treedef=base_treedef, cfg=cfg_primal, k=kp, mode="primal",
             )
         lval, dimg = _loss_and_dimg(
@@ -555,7 +563,7 @@ def _host_loss_grads(
         gblock = jnp.zeros(shape5, jnp.float32)
         for c in range(cfg_grad.spp // kg):
             gblock = _accum_block_slice(
-                gblock, params, base_leaves, sdf_table, cam, jnp.uint32(c), seed_g,
+                gblock, params, base_leaves, sdf_table, cam, _u32(c), seed_g,
                 base_treedef=base_treedef, cfg=cfg_grad, k=kg, mode="grad",
             )
         dB = _develop_cotangent(gblock, dimg, border=b)
@@ -563,7 +571,7 @@ def _host_loss_grads(
         # per-slice VJPs, accumulated on device
         for c in range(cfg_grad.spp // kg):
             grads = _accum_grads_slice(
-                grads, params, base_leaves, sdf_table, cam, jnp.uint32(c), seed_g, dB,
+                grads, params, base_leaves, sdf_table, cam, _u32(c), seed_g, dB,
                 base_treedef=base_treedef, cfg=cfg_grad, k=kg,
             )
     return total_loss, grads

@@ -99,7 +99,7 @@ def test_hybrid_merge_is_nearest_t():
         [[0.0, -1.0, 0.0]] * 3 + [[0.0, 1.0, 0.0]], jnp.float32
     )
     t_sdf = sphere_trace(scene.sdf, o, d, cfg.trace)
-    t_hyb, _, _, (t_mesh, _) = _ray_intersect(scene, o, d, 0, cfg, "primal")
+    t_hyb, _, _, (t_mesh, _, _, _) = _ray_intersect(scene, o, d, 0, cfg, "primal")
     t_sdf, t_hyb, t_mesh = (np.asarray(x) for x in (t_sdf, t_hyb, t_mesh))
     np.testing.assert_allclose(t_hyb, np.minimum(t_sdf, t_mesh), rtol=1e-6)
     assert t_sdf[0] < t_mesh[0]                       # SDF in front of mesh
@@ -149,7 +149,8 @@ def test_scene_file_mesh_entry(tmp_path):
     p.write_text(json.dumps(spec))
     scene = load_scene_file(str(p))
     assert scene.mesh is not None and scene.mesh.n_triangles == 2
-    np.testing.assert_allclose(np.asarray(scene.mesh.albedo), [0.6, 0.5, 0.4])
+    # albedo is now per-triangle (multi-shape assembly, r4)
+    np.testing.assert_allclose(np.asarray(scene.mesh.albedo), [[0.6, 0.5, 0.4]] * 2)
     np.testing.assert_allclose(float(scene.mesh.v0[0, 1]), 0.12)
     # no mesh key ⇒ pure-SDF scene
     p2 = tmp_path / "scene2.json"
@@ -207,7 +208,8 @@ def test_studio_scene_renders_direct_and_prb():
 
     path = os.path.join(os.path.dirname(__file__), "..", "scenes", "studio", "studio.json")
     scene = load_scene_file(path, resx=40, resy=40)
-    assert scene.mesh is not None and scene.mesh.n_triangles == 6
+    # backdrop cyc (6 tris) + warm bounce card (2 tris) merged into one soup
+    assert scene.mesh is not None and scene.mesh.n_triangles == 8
     assert scene.area_emitter is not None
 
     img_d = np.asarray(render(scene, 0, seed=0,
@@ -254,3 +256,59 @@ def test_scene_file_mirror_material_and_rect():
         scene = load_scene_file(p)
     assert scene.mesh.material == "mirror"
     assert scene.mesh.n_triangles == 2
+
+
+def test_multi_mesh_mixed_materials_renders():
+    """Multi-shape scene assembly (VERDICT r3 #6): a diffuse backdrop AND a
+    mirror panel merged into one soup (TriangleMesh.merge -> material
+    'mixed') must render through BOTH the direct and PRB integrators, with
+    per-triangle albedo reaching the shading and per-lane mirror bounces,
+    and grad mode staying finite.  Reference: the Mitsuba shape set of
+    reparam.py:209-232 / the studio rig of figures/result_utils.py:48-76."""
+    import jax
+
+    from differentiable_sdf_rendering_tpu.models.camera import regular_cameras
+    from differentiable_sdf_rendering_tpu.models.integrator import RenderConfig, render
+    from differentiable_sdf_rendering_tpu.models.scene import Scene
+    from differentiable_sdf_rendering_tpu.models.scenes_zoo import target_sdf
+
+    floor = TriangleMesh.floor(height=-0.25, half_extent=4.0, albedo=(0.8, 0.15, 0.15))
+    # panel BEHIND the SDF (camera sits at x ~ +2.3 looking toward -x), so
+    # primary rays that miss the sphere bounce off it back toward the scene
+    panel = TriangleMesh.rect(
+        corner=(-0.6, -0.3, -1.0), e0=(0.0, 0.0, 2.2), e1=(0.0, 1.8, 0.0),
+        albedo=(0.9, 0.9, 0.9), material="mirror",
+    )
+    mesh = TriangleMesh.merge([floor, panel])
+    assert mesh.material == "mixed"
+    assert mesh.n_triangles == 4
+    assert bool(mesh.mirror[0]) is False and bool(mesh.mirror[2]) is True
+
+    scene = Scene.create(
+        target_sdf("sphere", 24),
+        cameras=regular_cameras(1, resx=32, resy=32),
+        mesh=mesh,
+    )
+    for integ in ("sdf_direct_reparam", "sdf_prb_reparam"):
+        cfg = RenderConfig(integrator=integ, spp=4,
+                           use_mis=(integ == "sdf_direct_reparam"))
+        img = np.asarray(render(scene, 0, 7, cfg, "primal")[..., :3])
+        assert np.isfinite(img).all(), integ
+        assert img.max() > 0.05, integ
+        # the red floor's per-triangle albedo must reach the shading: some
+        # pixels are distinctly red-dominant
+        red_mask = (img[..., 0] > img[..., 1] * 1.5) & (img[..., 0] > 0.02)
+        assert red_mask.sum() > 5, (integ, red_mask.sum())
+
+        g = jax.grad(
+            lambda data: float_sum(render(
+                scene.replace(sdf=scene.sdf.with_data(data)), 0, 7, cfg, "grad"
+            )[..., :3])
+        )(scene.sdf.data)
+        assert np.isfinite(np.asarray(g)).all(), integ
+
+
+def float_sum(x):
+    import jax.numpy as jnp
+
+    return jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0))

@@ -185,10 +185,14 @@ def test_prb_area_silhouette_gradient_fd():
         img = render(_set_p(scene, p), 0, seed=seed, cfg=cfg_dir, mode="grad")
         return jnp.sum(img[..., :3])
 
+    # This cross-check (not the noisy 0.5-bounded FD above) is the
+    # load-bearing assertion for the boundary-term SCALE (ADVICE r3): 4
+    # independent seeds tighten the MC error enough for a 0.15 bound.
+    n_seeds_x = 4
     g_dir = np.zeros(3)
-    for seed in range(n_seeds):
-        g_dir += np.asarray(jax.grad(grad_sum_dir)(p0, seed)) / n_seeds
+    g_ad_x = np.zeros(3)
+    for seed in range(n_seeds_x):
+        g_dir += np.asarray(jax.grad(grad_sum_dir)(p0, seed)) / n_seeds_x
+        g_ad_x += np.asarray(jax.grad(grad_sum)(p0, seed)) / n_seeds_x
     for k in (0, 1):
-        # 0.2: MC noise at 2 seeds × 32 spp plus runner-dependent
-        # accumulation order (the two integrators share no sample stream)
-        assert abs(g_ad[k] - g_dir[k]) / abs(g_dir[k]) < 0.2, (g_ad, g_dir)
+        assert abs(g_ad_x[k] - g_dir[k]) / abs(g_dir[k]) < 0.15, (g_ad_x, g_dir)

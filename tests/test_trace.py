@@ -199,3 +199,39 @@ def test_over_relaxed_no_false_miss_near_bbox_exit():
     )
     assert np.isfinite(plain) and np.isfinite(relaxed), (plain, relaxed)
     np.testing.assert_allclose(relaxed, plain, atol=3e-3)
+
+
+def test_newton_refine_matches_fixed_band():
+    """Newton refinement (TraceParams.refine='newton', the r4 default — the
+    fixed-rate pass was 26% of a full trace on v5e) must land in the SAME
+    acceptance band 0 < f <= eps as the reference's decreasing-rate loop
+    (shapes.py:244-257), with intersection distances agreeing to the band
+    width."""
+    from differentiable_sdf_rendering_tpu.models.camera import regular_cameras
+    from differentiable_sdf_rendering_tpu.models.scenes_zoo import target_sdf
+
+    sdf = GridSDF.create(target_sdf("bunny", 32)).prepare()
+    cam = regular_cameras(1, resx=24, resy=24).view(0)
+    n = 24 * 24
+    pix = jnp.arange(n)
+    pos = jnp.stack([(pix % 24) + 0.5, (pix // 24) + 0.5], -1).astype(jnp.float32)
+    o, d = cam.sample_ray(pos)
+
+    t_fix = jax.jit(lambda: sphere_trace(sdf, o, d, TraceParams(refine="fixed")))()
+    t_new = jax.jit(lambda: sphere_trace(sdf, o, d, TraceParams(refine="newton")))()
+
+    hit_f, hit_n = np.isfinite(np.asarray(t_fix)), np.isfinite(np.asarray(t_new))
+    np.testing.assert_array_equal(hit_f, hit_n)  # refinement never flips hits
+    assert hit_f.sum() > 30
+    # same root to well under a voxel (1/32): the band is O(eps) wide
+    diff = np.abs(np.asarray(t_fix) - np.asarray(t_new))[hit_f]
+    assert diff.max() < 2e-3, diff.max()
+
+    # both polishers satisfy the band contract on (almost) all hit lanes:
+    # f <= eps strictly; f > 0 except for lanes that exhausted refine_steps
+    for t in (t_fix, t_new):
+        x = o + jnp.where(jnp.isfinite(t), t, 0.0)[..., None] * d
+        f = np.asarray(sdf.eval(x))[hit_f]
+        eps = 1e-6 * 4.0  # trace_eps * max(maxt~bbox diag, 1), loose
+        assert (f <= eps).all(), f.max()
+        assert (f > -eps).mean() > 0.9
