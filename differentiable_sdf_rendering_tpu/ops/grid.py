@@ -371,10 +371,16 @@ def _jet_contract_mm(taps, f, orders):
 
 
 def _eval_orders(taps, f, orders):
-    """Contract the tap window against the requested derivative orders,
-    picking the per-backend formulation (MXU matmul on TPU, elementwise
-    broadcast-product on CPU)."""
-    if _use_mm_jet():
+    """Contract the tap window against the requested derivative orders.
+
+    The MXU matmul formulation is used ONLY for the full 10-order jet on
+    TPU: that is where it wins 14× (164 → 11.9 ms standalone at 262 k
+    lanes), while for the 1- and 4-order evals it is a wash standalone
+    (value_mm 9.4 vs 9.3 ms) and PATHOLOGICAL inside narrow while_loops on
+    the axon runtime (a Newton-refine slice measured 444 vs 79 ms when its
+    in-loop grad eval lowered to a matmul — r4 bisect).  Everything else
+    takes the elementwise broadcast-product path."""
+    if len(orders) >= 10 and _use_mm_jet():
         return _jet_contract_mm(taps, f, orders)
     wx, dwx, ddwx = bspline_weights(f[..., 0])
     wy, dwy, ddwy = bspline_weights(f[..., 1])

@@ -40,12 +40,17 @@ class TraceParams:
     over_relax: float = 1.0
     trace_eps: float = 1e-6
     refine_intersection: bool = True
-    # Intersection root polisher (ops/trace._refine): 'newton' = guarded
-    # Newton toward the ε/2 band center (~2 evals; default — the fixed-rate
-    # pass was a measured 26% of a full trace on v5e), 'fixed' = the
+    # Intersection root polisher (ops/trace._refine): 'fixed' = the
     # reference's decreasing-rate iteration (bit-faithful to
-    # shapes.py:244-257).  Both accept the identical 0 < f ≤ ε band.
-    refine: str = "newton"
+    # shapes.py:244-257; default), 'newton' = guarded Newton toward the ε/2
+    # band center (~2 evals instead of ~10).  Both accept the identical
+    # 0 < f ≤ ε band.  Newton is OPT-IN: on the axon v5e runtime the
+    # in-loop gradient eval interacted badly with program lowering (a
+    # Newton primal slice bisected to 444 ms vs 79 ms fixed even after
+    # forcing the elementwise weight path was attempted; the compile
+    # helper degraded before the elementwise variant could be measured) —
+    # re-evaluate on a runtime update before defaulting it.
+    refine: str = "fixed"
     use_extra_weight: bool = True
     extra_thresh: float = 0.05
     sil_weight_offset: float = 0.05
