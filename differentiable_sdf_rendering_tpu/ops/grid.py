@@ -130,22 +130,33 @@ def build_stencil_incremental(data: jnp.ndarray) -> jnp.ndarray:
     n = (z + 3) * (y + 3) * (x + 3)
     padded = jnp.pad(data, ((3, 3), (3, 3), (3, 3)), mode="edge")
 
-    # Write ROWS of a (64, n) buffer (a (1, n) row pads only 8× transiently;
-    # a (n, 1) column pads 128× — 35 GB at 256³), donated so updates are
-    # in-place; ONE final transpose to the (n, 64) gather layout.
-    @_ft.partial(jax.jit, donate_argnums=(0,))
-    def setrow(table, padded, start, k):
-        row = jax.lax.dynamic_slice(
-            padded, (start[0], start[1], start[2]), (z + 3, y + 3, x + 3)
-        ).reshape(1, -1)
-        return jax.lax.dynamic_update_slice(table, row, (k, 0))
+    # Write 8-ROW groups of a (64, n) buffer (a (8, n) group pads 1×
+    # transiently; a (n, 1) column pads 128× — 35 GB at 256³), donated so
+    # updates are in-place; ONE final transpose to the (n, 64) gather
+    # layout.  Grouping 8 shifted slices per dispatch cuts the build from
+    # 64 to 8 programs (each host dispatch on the remote tunnel costs
+    # ~30 ms of latency plus scheduling — r4, part of VERDICT r3 #5's
+    # "8.5 s/iteration at 256³" overhead).
+    # two dispatches per a-shift, 8 contiguous (b, c) rows each
+    @_ft.partial(jax.jit, donate_argnums=(0,), static_argnames=("a", "half"))
+    def set_half(table, padded, a, half):
+        rows = jnp.stack(
+            [
+                jax.lax.dynamic_slice(
+                    padded, (a, b, c), (z + 3, y + 3, x + 3)
+                ).reshape(-1)
+                for b in range(2 * half, 2 * half + 2)
+                for c in range(4)
+            ],
+            axis=0,
+        )
+        k0 = (a * 4 + 2 * half) * 4
+        return jax.lax.dynamic_update_slice(table, rows, (k0, 0))
 
     table = jnp.zeros((64, n), data.dtype)
     for a in range(4):
-        for b in range(4):
-            for c in range(4):
-                k = (a * 4 + b) * 4 + c
-                table = setrow(table, padded, jnp.asarray((a, b, c)), jnp.int32(k))
+        for half in range(2):
+            table = set_half(table, padded, a, half)
     return jax.jit(jnp.transpose)(table)
 
 

@@ -166,3 +166,12 @@ def test_mm_jet_matches_elementwise(random_grid, monkeypatch):
     gd0 = loss(random_grid, "0")
     gd1 = loss(random_grid, "1")
     np.testing.assert_allclose(np.asarray(gd0), np.asarray(gd1), rtol=1e-4, atol=1e-4)
+
+
+def test_incremental_builder_matches_traceable(random_grid):
+    """The eager 8-row-group incremental table builder (r4: 8 dispatches
+    instead of 64 — part of the 256^3 hqq build-cost work, VERDICT r3 #5)
+    is bit-identical to the traceable build_stencil."""
+    t1 = gridops.build_stencil(random_grid)
+    t2 = gridops.build_stencil_incremental(random_grid)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
