@@ -47,10 +47,11 @@ def main():
 
     mc = get_config("warp")
     oc, _ = get_opt_config(cfg_name)
-
-    resume = newest_checkpoint(out)
-    if resume is not None:
-        print(f"[resume] from checkpoint iteration {resume}", flush=True)
+    # bound the work lost to a transient remote-compile failure / worker
+    # flake (observed: "response body closed" exactly at the iter-64
+    # upsample recompile) — checkpoint every 32 iterations and retry with
+    # resume-from-newest
+    oc.checkpoint_frequency = 32
 
     times = []
 
@@ -59,12 +60,25 @@ def main():
         if len(times) % 16 == 1:
             print(f"[timing] iter {i} t={times[-1][1]:.1f}", flush=True)
 
-    res = optimize_shape(
-        scene, oc, mc, output_dir=out,
-        ref_spp=int(os.environ.get("PROTO_REF_SPP", "256")),
-        n_iter=n_iter, verbose=True, checkpoint_cb=cb,
-        render_chunks=16, resume_from=resume,
-    )
+    res = None
+    for attempt in range(int(os.environ.get("PROTO_RETRIES", "8"))):
+        resume = newest_checkpoint(out)
+        if resume is not None:
+            print(f"[attempt {attempt}] resume from checkpoint {resume}", flush=True)
+        try:
+            res = optimize_shape(
+                scene, oc, mc, output_dir=out,
+                ref_spp=int(os.environ.get("PROTO_REF_SPP", "256")),
+                n_iter=n_iter, verbose=True, checkpoint_cb=cb,
+                render_chunks=16, resume_from=resume,
+            )
+            break
+        except Exception as e:
+            print(f"[attempt {attempt}] failed: {type(e).__name__}: {e}", flush=True)
+            time.sleep(60)
+    if res is None:
+        print("[giving up] all attempts failed", flush=True)
+        return 1
 
     # per-phase s/iter from the callback timestamps
     phases = {}
