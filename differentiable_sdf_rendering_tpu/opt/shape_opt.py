@@ -79,7 +79,13 @@ def _grad_remat_auto(pw: int, grad_spp: int) -> bool:
     env = os.environ.get("DSDF_GRAD_REMAT")
     if env in ("0", "1"):
         return env == "1"
-    return pw * grad_spp > 1_300_000
+    # Conservative default: the residual-storing step measured 13.35 s/iter
+    # (vs 18.9 remat) on no-tex-12 (1.1 M grad lanes), but two device runs
+    # STALLED the worker in the 64³ phase with it active (r4, proto512
+    # attempts 1-2; the tunnel was degraded, so causality is unproven).
+    # Auto keeps remat ON above ~0.7 M lanes; opt in to the faster path
+    # with DSDF_GRAD_REMAT=0 when the chip is healthy.
+    return pw * grad_spp > 700_000
 
 
 def _write_loss_plot(loss_values, output_dir):

@@ -42,7 +42,8 @@ def main():
     n_iter = int(os.environ.get("PROTO_ITERS", "512"))
     scene = os.environ.get("PROTO_SCENE", "dragon")
     cfg_name = os.environ.get("PROTO_OPT", "no-tex-12")
-    out = os.path.join("output", "device_r4", f"{scene}-{cfg_name}-512", "warp")
+    tag = os.environ.get("PROTO_TAG", "512")
+    out = os.path.join("output", "device_r4", f"{scene}-{cfg_name}-{tag}", "warp")
     os.makedirs(out, exist_ok=True)
 
     mc = get_config("warp")
