@@ -26,9 +26,22 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def newest_checkpoint(out_dir):
+    """Newest READABLE iteration checkpoint (a watchdog-killed attempt can
+    leave a truncated .vol behind — skip and delete those)."""
+    from differentiable_sdf_rendering_tpu.utils.io import read_vol
+
     cands = glob.glob(os.path.join(out_dir, "params", "sdf-data-*.vol"))
     its = sorted(int(re.search(r"(\d+)\.vol$", c).group(1)) for c in cands)
-    return its[-1] if its else None
+    while its:
+        it = its.pop()
+        path = os.path.join(out_dir, "params", f"sdf-data-{it:04d}.vol")
+        try:
+            read_vol(path)
+            return it
+        except Exception as e:
+            print(f"[checkpoint] dropping unreadable {path}: {e}", flush=True)
+            os.rename(path, path + ".bad")
+    return None
 
 
 def main():
@@ -52,7 +65,7 @@ def main():
     # flake (observed: "response body closed" exactly at the iter-64
     # upsample recompile) — checkpoint every 32 iterations and retry with
     # resume-from-newest
-    oc.checkpoint_frequency = 32
+    oc.checkpoint_frequency = int(os.environ.get("PROTO_CKPT", "32"))
 
     times = []
 
