@@ -12,5 +12,5 @@ LATEST=$(ls "$SRC"/sdf-data-*.vol | sort | tail -1)
 cp "$LATEST" "$DST/sdf-data-0219.vol"
 echo "[hq-final] seeded from $LATEST"
 PROTO_OPT=no-tex-12-hq PROTO_TAG=final PROTO_ITERS=${HQ_ITERS:-244} \
-PROTO_REF_SPP=${HQ_REF_SPP:-128} PROTO_SCENE=dragon PROTO_RETRIES=6 \
+PROTO_REF_SPP=${HQ_REF_SPP:-128} PROTO_SCENE=dragon PROTO_RETRIES=6 PROTO_CKPT=8 \
 exec python scripts/run_512_protocol.py
