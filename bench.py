@@ -55,13 +55,14 @@ def main():
 
     # film res / primal spp / adjoint spp / grid res / runs / spp per slice
     # (full = the reference's Fig-9a protocol: 256², 256+64 spp, 128³ SDF)
-    # full slice_spp=4 (270k-lane programs): stable on this chip since the
-    # r3 elementwise-jet rewrite shrank program temporaries, and the wider
-    # adjoint programs cut t_adjoint 7.76 → 4.29 s (BASELINE.md r3).
+    # full slice_spp=8 (540k-lane programs, promoted r5 after a 2-run soak:
+    # 2.65 M rays/s, t_adjoint 3.73 → 3.38 s; k=16 regresses the primal to
+    # 5.09 s).  The r3 elementwise-jet rewrite shrank program temporaries
+    # enough that this width is comfortably inside the proven-safe envelope.
     res, primal_spp, adjoint_spp, grid_res, n_runs, slice_spp = {
         "small": (64, 16, 8, 32, 2, 16),
         "medium": (128, 64, 16, 64, 3, 16),
-        "full": (256, 256, 64, 128, 3, 4),
+        "full": (256, 256, 64, 128, 3, 8),
     }[scale]
     if "BENCH_SLICE" in os.environ:  # lanes-per-program override (fragile chips)
         slice_spp = int(os.environ["BENCH_SLICE"])

@@ -165,15 +165,17 @@ class GridEnvmap:
     alias method is O(1): two SCALAR gathers per sample.  Radiance lookups
     gather (3,)-float ROWS of ``image_rows`` (TPU gather cost is per row,
     not per byte): 4 rows for a bilinear eval vs the old 3 planar scalars.
-    MIS stays consistent: ``pdf_direction`` is the piecewise-constant
-    density that the (texel-uniform, jittered) sampler actually has —
-    bilinear eval + constant pdf is unbiased as long as pdf matches the
-    sampler, which it does exactly.
+    MIS stays consistent: ``pdf_direction`` is the EXACT density of the
+    (texel-uniform, jittered) sampler — the sampler is uniform in (θ,φ)
+    parameter space within each texel, so the per-steradian density is the
+    piecewise-constant planar density divided by sin θ of the *actual*
+    direction (not the row-center midpoint, which is O(Δθ·cotθ) biased and
+    O(1) wrong in the pole rows — ADVICE r4).
     """
 
     image: jnp.ndarray       # (H, W, 3)
     image_rows: jnp.ndarray  # (H·W, 3) row-gatherable texels
-    pdf_table: jnp.ndarray   # (H·W,) solid-angle pdf of each texel cell
+    pdf_table: jnp.ndarray   # (H·W,) planar pdf of each texel: p/(Δθ·Δφ)
     alias_prob: jnp.ndarray  # (H·W,) Walker alias acceptance threshold
     alias_idx: jnp.ndarray   # (H·W,) int32 alias cell
 
@@ -188,7 +190,9 @@ class GridEnvmap:
         d_omega = (2.0 * np.pi / w) * (np.pi / h) * np.sin(theta)[:, None]
         weight = (lum * d_omega).reshape(-1)
         p = weight / weight.sum()
-        pdf = (p.reshape(h, w) / d_omega).reshape(-1)  # per-sr density
+        # planar density in (θ,φ) space: the jittered sampler is uniform in
+        # (θ,φ) within each texel, so pdf_sr(d) = planar / sinθ(d) exactly
+        pdf = p / ((np.pi / h) * (2.0 * np.pi / w))
 
         alias_prob, alias_idx = _build_alias_table(p)
         return cls(
@@ -237,7 +241,11 @@ class GridEnvmap:
         """Bilinearly filtered radiance from direction ``d`` (Mitsuba envmap
         convention): 4 row gathers, φ wraps, θ clamps at the poles."""
         h, w, _ = self.image.shape
-        theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+        # clip strictly inside ±1: eval is differentiable w.r.t. d (bilinear
+        # weights) and d/dy arccos(y) → ∞ at |y| = 1, so an exactly-polar
+        # escaped reparameterized ray would otherwise get NaN gradients
+        # (ADVICE r4)
+        theta = jnp.arccos(jnp.clip(d[..., 1], -1.0 + 1e-7, 1.0 - 1e-7))
         phi = jnp.arctan2(d[..., 2], d[..., 0])
         fx = ((phi / (2.0 * jnp.pi)) % 1.0) * w - 0.5
         fy = (theta / jnp.pi) * h - 0.5
@@ -277,10 +285,13 @@ class GridEnvmap:
         # the H·W texel centers (banding at low spp vs Mitsuba's hierarchical
         # warp — ADVICE r3).  Jitter bits are restretched from the alias
         # draw: jx re-maps the acceptance coin within its accepted branch
-        # (exactly uniform), jy re-uses the high-precision fraction of u0·n.
-        # The sampled density inside the texel is UNIFORM either way, so
-        # pdf_direction (piecewise-constant) still matches the sampler
-        # exactly — jitter quality affects stratification only, not bias.
+        # (exactly uniform); jy re-uses the fraction of u0·n, which for an
+        # n-texel map carries only ~(24 − log2 n) mantissa bits — coarse θ
+        # stratification on very large HDRs (quality only, not bias: the
+        # jitter stays uniform-in-distribution and pdf is computed from the
+        # actual sampled direction below).  The sampler is uniform in (θ,φ)
+        # inside the texel, so its exact per-steradian density is the planar
+        # table value / sinθ of the sampled direction.
         jx = jnp.clip(
             jnp.where(take_alias, (u2[..., 1] - pc) / jnp.maximum(1.0 - pc, 1e-9),
                       u2[..., 1] / jnp.maximum(pc, 1e-9)),
@@ -291,10 +302,14 @@ class GridEnvmap:
         phi = (x.astype(jnp.float32) + jx) / w * 2.0 * jnp.pi
         st = jnp.sin(theta)
         d = jnp.stack([st * jnp.cos(phi), jnp.cos(theta), st * jnp.sin(phi)], -1)
-        return d, jnp.take(self.pdf_table, cell, axis=0), self.eval(d)
+        # pdf via the same (cell, sinθ-of-d) path as pdf_direction so the
+        # two agree bitwise for MIS
+        return d, self.pdf_direction(d), self.eval(d)
 
     def pdf_direction(self, d):
-        return jnp.take(self.pdf_table, GridEnvmap._cell_index(self.image, d), axis=0)
+        planar = jnp.take(self.pdf_table, GridEnvmap._cell_index(self.image, d), axis=0)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - d[..., 1] * d[..., 1], 1e-12))
+        return planar / sin_theta
 
     def power_proxy(self):
         h, w, _ = self.image.shape

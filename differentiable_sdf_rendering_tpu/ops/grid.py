@@ -112,6 +112,38 @@ def _build_stencil_fwd_impl(data):
     return table.T
 
 
+# Brick-layout EXPERIMENT knob (VERDICT r2-r4 "the next lever", finally
+# measured in r5 — scripts/brick_probe_r5.py).  When set to the (nbz, nby,
+# nbx) brick-grid dims of the current stencil table, _tap_setup computes
+# 8³-tiled row indices instead of row-major ones; the table itself must have
+# been permuted with build_stencil_brick.  Default None = production
+# row-major path, zero overhead.
+_STENCIL_BRICK = None
+
+
+def build_stencil_brick(table: jnp.ndarray, zres: int, yres: int, xres: int):
+    """Permute a row-major stencil table into 8³-brick (tiled) layout.
+
+    Rows whose cells share an 8×8×8 spatial brick become contiguous — the
+    locality hypothesis is that trace-coherent queries then hit fewer
+    distinct table regions per gather batch.  Pads each axis up to a
+    multiple of 8 (≤ ~1.1× memory at 128³).  Returns (brick_table,
+    (nbz, nby, nbx)) for the ``_STENCIL_BRICK`` knob.  Experiment-only:
+    gradients do not flow through this table.
+    """
+    dz, dy, dx = zres + 3, yres + 3, xres + 3
+    nbz, nby, nbx = -(-dz // 8), -(-dy // 8), -(-dx // 8)
+    t = np.asarray(table)
+    out = np.zeros((nbz * nby * nbx * 512, t.shape[1]), t.dtype)
+    z, y, x = np.meshgrid(np.arange(dz), np.arange(dy), np.arange(dx),
+                          indexing="ij")
+    src = (z * dy + y) * dx + x
+    dst = ((((z >> 3) * nby + (y >> 3)) * nbx + (x >> 3)) * 512
+           + ((z & 7) * 8 + (y & 7)) * 8 + (x & 7))
+    out[dst.reshape(-1)] = t[src.reshape(-1)]
+    return jnp.asarray(out), (nbz, nby, nbx)
+
+
 def build_stencil_incremental(data: jnp.ndarray) -> jnp.ndarray:
     """Eager stencil-table build with O(table) peak memory.
 
@@ -308,7 +340,15 @@ def _tap_setup(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None = 
     bx = jnp.clip(base[..., 0], -2, xres) + 2
     by = jnp.clip(base[..., 1], -2, yres) + 2
     bz = jnp.clip(base[..., 2], -2, zres) + 2
-    lin = (bz * (yres + 3) + by) * (xres + 3) + bx
+    if _STENCIL_BRICK is not None:
+        # 8³-brick (tiled) experiment layout — see build_stencil_brick
+        nbz, nby, nbx = _STENCIL_BRICK
+        lin = (
+            (((bz >> 3) * nby + (by >> 3)) * nbx + (bx >> 3)) * 512
+            + ((bz & 7) * 8 + (by & 7)) * 8 + (bx & 7)
+        )
+    else:
+        lin = (bz * (yres + 3) + by) * (xres + 3) + bx
     rows = jnp.take(stencil, lin.reshape(-1), axis=0)  # (N, 64)
     taps = rows.reshape(p.shape[:-1] + (4, 4, 4))
     return taps, f, res

@@ -44,12 +44,14 @@ class TraceParams:
     # reference's decreasing-rate iteration (bit-faithful to
     # shapes.py:244-257; default), 'newton' = guarded Newton toward the ε/2
     # band center (~2 evals instead of ~10).  Both accept the identical
-    # 0 < f ≤ ε band.  Newton is OPT-IN: on the axon v5e runtime the
-    # in-loop gradient eval interacted badly with program lowering (a
-    # Newton primal slice bisected to 444 ms vs 79 ms fixed even after
-    # forcing the elementwise weight path was attempted; the compile
-    # helper degraded before the elementwise variant could be measured) —
-    # re-evaluate on a runtime update before defaulting it.
+    # 0 < f ≤ ε band.  r5 retest (scripts/newton_retest_r5.py, warm-
+    # execution protocol, both orderings): Newton ≡ fixed within 1% at
+    # both trace (49.0 vs 49.2 ms) and primal-slice (76.8 vs 77.7 ms)
+    # level — the r4 "444 ms pathology" was a cold-executable measurement
+    # artifact (the first-timed executable of a process absorbs ~300-450 ms
+    # of axon session warmup).  The refine loop is machinery-bound, not
+    # eval-bound, so Newton's fewer evals don't pay; 'fixed' stays the
+    # default for reference bit-parity.
     refine: str = "fixed"
     use_extra_weight: bool = True
     extra_thresh: float = 0.05

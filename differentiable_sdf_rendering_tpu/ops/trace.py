@@ -75,6 +75,13 @@ class TraceResult:
         return jnp.isfinite(self.its_t)
 
 
+# Refine-loop structure (module knobs so device probes can bisect them —
+# scripts/refine_bisect_r5.py; the defaults are the r3-measured optimum)
+_REFINE_STAGES = (2, 8, 64)
+_REFINE_UNROLL = 5
+_REFINE_UNROLL_NEWTON = 2
+
+
 def _staged_while(body, state, consts, stages=(8, 64), unroll=1, depth=0):
     """``while_loop(any(active), body)`` with active-lane compaction.
 
@@ -317,8 +324,8 @@ def _refine(sdf, o, d, its_t, trace_eps, params: TraceParams, refine_active=True
     # trace from 21 ms to ~a third, r3 device sweep); Newton lanes converge
     # in ~2, so deeper unrolling only wastes masked evals.  Masked body ⇒
     # deterministic refined t either way.
-    s = _staged_while(body, state, consts, stages=(2, 8, 64),
-                      unroll=2 if newton else 5)
+    s = _staged_while(body, state, consts, stages=_REFINE_STAGES,
+                      unroll=_REFINE_UNROLL_NEWTON if newton else _REFINE_UNROLL)
     return jnp.where(refining0, s["t"], its_t)
 
 

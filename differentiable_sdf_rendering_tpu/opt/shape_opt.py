@@ -484,17 +484,36 @@ def _strided_lane(pw: int, spp: int, k: int, c):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("base_treedef", "cfg", "k", "mode"),
+    static_argnames=("base_treedef", "cfg", "k", "mode", "nb"),
     donate_argnums=(0,),
 )
 def _accum_block_slice(block, params, base_leaves, sdf_table, cam, c, seed,
-                       *, base_treedef, cfg, k, mode):
+                       *, base_treedef, cfg, k, mode, nb=1):
+    """Accumulate ``nb`` consecutive spp-strided slices (starting at slice
+    index ``c``) into ``block`` in ONE dispatch.  ``nb > 1`` bundles the
+    slices as a ``lax.scan`` over the slice counter: each scan iteration is
+    still a bench-class ≤ ~300 k-lane render (the proven-safe program
+    envelope — the r3 worker crashes were single ~90 s executions, and an
+    nb-bundle is ~nb × 0.1-0.3 s), but the host pays ONE dispatch instead of
+    nb (~33 s of tunnel overhead per hq iteration at 576 dispatches/iter —
+    VERDICT r4 #6).  Accumulation order is identical to nb=1, so results
+    are bit-equal to the unbundled path."""
     base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
     scene = _build_scene(base, params, sdf_table)
     b = BORDER if cfg.sample_border else 0
     pw = (cam.resx + 2 * b) * (cam.resy + 2 * b)
-    lane = _strided_lane(pw, cfg.spp, k, c)
-    return block + render_lane_block(scene, cam, lane, seed, cfg, mode, dense_groups=k)
+    if nb == 1:
+        lane = _strided_lane(pw, cfg.spp, k, c)
+        return block + render_lane_block(scene, cam, lane, seed, cfg, mode,
+                                         dense_groups=k)
+
+    def body(blk, ci):
+        lane = _strided_lane(pw, cfg.spp, k, ci)
+        return blk + render_lane_block(scene, cam, lane, seed, cfg, mode,
+                                       dense_groups=k), None
+
+    blk, _ = jax.lax.scan(body, block, c + jnp.arange(nb, dtype=jnp.uint32))
+    return blk
 
 
 @functools.partial(jax.jit, static_argnames=("loss_name", "batch", "border"))
@@ -512,23 +531,35 @@ def _develop_cotangent(block, dimg, *, border):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("base_treedef", "cfg", "k"),
+    static_argnames=("base_treedef", "cfg", "k", "nb"),
     donate_argnums=(0,),
 )
 def _accum_grads_slice(grads, params, base_leaves, sdf_table, cam, c, seed, dB,
-                       *, base_treedef, cfg, k):
+                       *, base_treedef, cfg, k, nb=1):
+    """Per-slice VJPs accumulated on device; ``nb`` slices per dispatch via
+    ``lax.scan`` (see :func:`_accum_block_slice` — same envelope argument,
+    same bit-equal accumulation order)."""
     base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
     b = BORDER if cfg.sample_border else 0
     pw = (cam.resx + 2 * b) * (cam.resy + 2 * b)
-    lane = _strided_lane(pw, cfg.spp, k, c)
 
-    def rf(p):
-        scene = _build_scene(base, p, sdf_table)
-        return render_lane_block(scene, cam, lane, seed, cfg, "grad", dense_groups=k)
+    def one(g, ci):
+        lane = _strided_lane(pw, cfg.spp, k, ci)
 
-    _, vjp = jax.vjp(rf, params)
-    (gp,) = vjp(dB)
-    return jax.tree_util.tree_map(jnp.add, grads, gp)
+        def rf(p):
+            scene = _build_scene(base, p, sdf_table)
+            return render_lane_block(scene, cam, lane, seed, cfg, "grad",
+                                     dense_groups=k)
+
+        _, vjp = jax.vjp(rf, params)
+        (gp,) = vjp(dB)
+        return jax.tree_util.tree_map(jnp.add, g, gp)
+
+    if nb == 1:
+        return one(grads, c)
+    g, _ = jax.lax.scan(lambda g, ci: (one(g, ci), None), grads,
+                        c + jnp.arange(nb, dtype=jnp.uint32))
+    return g
 
 
 def _host_loss_grads(
@@ -543,6 +574,19 @@ def _host_loss_grads(
     base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
     b = BORDER if cfg_primal.sample_border else 0
 
+    # Bundle size: nb slices ride one dispatch as a lax.scan.  The largest
+    # divisor of the slice count ≤ DSDF_HOST_BUNDLE keeps exactly one
+    # compiled program per (cfg, k, nb) while cutting the per-iteration
+    # dispatch count ~nb× (~33 s/iter of tunnel overhead at hq's 576
+    # dispatches — VERDICT r4 #6).
+    nb_max = max(1, int(os.environ.get("DSDF_HOST_BUNDLE", "8")))
+
+    def _bundle(n_slices: int) -> int:
+        nb = min(nb_max, n_slices)
+        while n_slices % nb:
+            nb -= 1
+        return nb
+
     grads = jax.tree_util.tree_map(lambda x: jnp.zeros(x.shape, x.dtype), params)
     total_loss = jnp.zeros(())
     for j, v in enumerate([int(x) for x in view_indices]):
@@ -553,11 +597,13 @@ def _host_loss_grads(
 
         # primal film block (detached: never differentiated)
         kp = _host_slice_spp(pw, cfg_primal.spp, max_lanes)
+        nbp = _bundle(cfg_primal.spp // kp)
         block = jnp.zeros(shape5, jnp.float32)
-        for c in range(cfg_primal.spp // kp):
+        for c in range(0, cfg_primal.spp // kp, nbp):
             block = _accum_block_slice(
                 block, params, base_leaves, sdf_table, cam, _u32(c), seed_p,
                 base_treedef=base_treedef, cfg=cfg_primal, k=kp, mode="primal",
+                nb=nbp,
             )
         lval, dimg = _loss_and_dimg(
             block, refs[j], loss_name=loss_name, batch=batch, border=b
@@ -566,19 +612,21 @@ def _host_loss_grads(
 
         # grad-mode film block (the develop cotangent needs its value)
         kg = _host_slice_spp(pw, cfg_grad.spp, max_lanes)
+        nbg = _bundle(cfg_grad.spp // kg)
         gblock = jnp.zeros(shape5, jnp.float32)
-        for c in range(cfg_grad.spp // kg):
+        for c in range(0, cfg_grad.spp // kg, nbg):
             gblock = _accum_block_slice(
                 gblock, params, base_leaves, sdf_table, cam, _u32(c), seed_g,
                 base_treedef=base_treedef, cfg=cfg_grad, k=kg, mode="grad",
+                nb=nbg,
             )
         dB = _develop_cotangent(gblock, dimg, border=b)
 
         # per-slice VJPs, accumulated on device
-        for c in range(cfg_grad.spp // kg):
+        for c in range(0, cfg_grad.spp // kg, nbg):
             grads = _accum_grads_slice(
                 grads, params, base_leaves, sdf_table, cam, _u32(c), seed_g, dB,
-                base_treedef=base_treedef, cfg=cfg_grad, k=kg,
+                base_treedef=base_treedef, cfg=cfg_grad, k=kg, nb=nbg,
             )
     return total_loss, grads
 
@@ -734,6 +782,27 @@ def optimize_shape(
     adam_state = adam_init(params)
     ema = {k: params[k] for k in params}
     loss_values = []
+    prior_time = 0.0
+    if resume_from is not None:
+        # Stitch the loss history + wall time across resume segments so the
+        # final metadata.json / loss.png cover the WHOLE run like the
+        # reference's (python/shape_opt.py:106-119) — VERDICT r4 #4: the
+        # 512-run's committed curve covered only the last segment.
+        meta_path = os.path.join(output_dir, "metadata.json")
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    prior = json.load(f)
+                prev = list(prior.get("loss_values", []))[: resume_from + 1]
+                prior_time = float(prior.get("total_time", 0.0))
+                # pad to exactly resume_from+1 entries so iteration indices
+                # keep lining up even if an older segment predates stitching
+                loss_values = prev + [float("nan")] * (resume_from + 1 - len(prev))
+            except Exception as e:  # corrupt metadata must not block resume
+                print(f"[resume] could not stitch prior metadata: {e}")
+                loss_values = [float("nan")] * (resume_from + 1)
+        else:
+            loss_values = [float("nan")] * (resume_from + 1)
     seed = 0
 
     from ..ops.warp_conv import ConvWarpConfig
@@ -828,6 +897,15 @@ def optimize_shape(
             use_host = mode == "host" or (
                 mode == "auto" and est_lanes > _HOST_DISPATCH_LANES and mesh is None
             )
+            if use_host and mesh is not None:
+                # _train_step_host has no sharded path — a forced 'host'
+                # would silently drop the ('views','rays') sharding
+                # (ADVICE r4); only 'auto' guards on mesh is None
+                raise ValueError(
+                    "dispatch='host' (or DSDF_DISPATCH=host) cannot honor a "
+                    "device sharding mesh — use dispatch='jit'/'auto' with "
+                    "mesh, or drop the mesh for host-sliced dispatch"
+                )
             if use_host:
                 params, adam_state, ema, loss = _train_step_host(
                     params, adam_state, ema, tuple(base_leaves), view_indices,
@@ -886,7 +964,7 @@ def optimize_shape(
     finally:
         # Always record what we have — the reference's try/finally loss
         # plot + metadata dump (shape_opt.py:73,106-119)
-        total_time = time.time() - t_start
+        total_time = prior_time + (time.time() - t_start)  # cumulative across resumes
         if output_dir:
             from ..utils.io import dump_metadata, write_vol
 

@@ -202,8 +202,9 @@ def test_over_relaxed_no_false_miss_near_bbox_exit():
 
 
 def test_newton_refine_matches_fixed_band():
-    """Newton refinement (TraceParams.refine='newton', the r4 default — the
-    fixed-rate pass was 26% of a full trace on v5e) must land in the SAME
+    """Newton refinement (TraceParams.refine='newton' — opt-in; the default
+    is 'fixed', deliberately reverted in c1b2ae0 after the in-loop matmul
+    device pathology) must land in the SAME
     acceptance band 0 < f <= eps as the reference's decreasing-rate loop
     (shapes.py:244-257), with intersection distances agreeing to the band
     width."""
