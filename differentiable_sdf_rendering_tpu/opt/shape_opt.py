@@ -631,20 +631,109 @@ def _host_loss_grads(
     return total_loss, grads
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_treedef", "loss_name", "cfg_primal", "cfg_grad",
+                     "batch", "nc_primal", "nc_grad", "grad_remat"),
+)
+def _view_loss_grads_jit(params, base_leaves, sdf_table, vidx, seed_p, seed_g,
+                         ref, *, base_treedef, loss_name, cfg_primal, cfg_grad,
+                         batch, nc_primal, nc_grad, grad_remat):
+    """Loss + parameter gradients of ONE view as a single jitted program —
+    the per-VIEW host-dispatch granularity (r5).  Identical arithmetic to
+    one view of the jitted `_train_step` (render_chunked primal +
+    vjp-of-render_chunked grad); the program runs ~11-16 s at hq scale —
+    the same proven-safe class as the no-tex-12 final-phase one-dispatch
+    step (17-22 s) and far below the ~90 s single-execution crash regime.
+    Measured vs the slice-granular path at hq: 96-98 s/iter → see
+    BASELINE.md r5 (the slice path's per-program floors cost ~1.4×)."""
+    base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
+    cam = base.cameras.view(vidx)
+    loss_fn = _LOSSES[loss_name]
+    scene_det = _build_scene(
+        jax.lax.stop_gradient(base), jax.lax.stop_gradient(params),
+        jax.lax.stop_gradient(sdf_table) if sdf_table is not None else None,
+    )
+    img_p = render_chunked(scene_det, seed=seed_p, cfg=cfg_primal,
+                           mode="primal", camera=cam, n_chunks=nc_primal)[..., :3]
+    lval, dimg = jax.value_and_grad(lambda im: loss_fn(im, ref) / batch)(img_p)
+
+    def rfun(p):
+        return render_chunked(
+            _build_scene(base, p, sdf_table), seed=seed_g, cfg=cfg_grad,
+            mode="grad", camera=cam, n_chunks=nc_grad, remat=grad_remat,
+        )[..., :3]
+
+    _, vjp = jax.vjp(rfun, params)
+    (gp,) = vjp(dimg)
+    return lval, gp
+
+
+def _host_chunks(pw: int, spp: int, max_lanes: int) -> int:
+    """Chunk count for render_chunked so each chunk is ≤ ``max_lanes`` —
+    the smallest divisor of pw·spp with lanes/chunk in budget."""
+    n = pw * spp
+    nc = max(1, -(-n // max_lanes))
+    while n % nc:
+        nc += 1
+    return nc
+
+
+def _host_loss_grads_view(
+    params, base_leaves, view_indices, seeds, seeds_grad, refs, sdf_table,
+    *, base_treedef, loss_name, cfg_primal: RenderConfig,
+    cfg_grad: RenderConfig, batch: int, max_lanes: int, grad_remat: bool,
+):
+    """Per-VIEW host dispatches (default host mode): one jitted
+    loss+grad program per view, accumulated on device."""
+    base = jax.tree_util.tree_unflatten(base_treedef, base_leaves)
+    b = BORDER if cfg_primal.sample_border else 0
+    cam0 = base.cameras.view(0)
+    pw = (cam0.resx + 2 * b) * (cam0.resy + 2 * b)
+    ncp = _host_chunks(pw, cfg_primal.spp, max_lanes)
+    ncg = _host_chunks(pw, cfg_grad.spp, max_lanes)
+    grads = jax.tree_util.tree_map(lambda x: jnp.zeros(x.shape, x.dtype), params)
+    total_loss = jnp.zeros(())
+    for j, v in enumerate([int(x) for x in view_indices]):
+        lval, gp = _view_loss_grads_jit(
+            params, base_leaves, sdf_table, _u32(v), seeds[j], seeds_grad[j],
+            refs[j], base_treedef=base_treedef, loss_name=loss_name,
+            cfg_primal=cfg_primal, cfg_grad=cfg_grad, batch=batch,
+            nc_primal=ncp, nc_grad=ncg, grad_remat=grad_remat,
+        )
+        total_loss = total_loss + lval
+        grads = jax.tree_util.tree_map(jnp.add, grads, gp)
+    return total_loss, grads
+
+
 def _train_step_host(
     params, adam_state, ema, base_leaves, view_indices, seeds, seeds_grad,
     refs, lrs, sdf_table=None, *, base_treedef, loss_name,
     cfg_primal: RenderConfig, cfg_grad: RenderConfig, batch: int, specs,
     mask_updates: bool = False, max_lanes: int = 300_000,
+    grad_remat: bool = True,
 ):
-    """One optimization step sequenced as bench-class host dispatches (see
-    block comment above).  All intermediate state stays on device; the only
+    """One optimization step sequenced as host dispatches (see block comment
+    above).  DSDF_HOST_MODE picks the granularity: 'view' (default) = one
+    jitted ~11-16 s program per view; 'slice' = bench-class ≤max_lanes
+    programs (the r4 path — for chips that can't sustain multi-second
+    executions).  All intermediate state stays on device; the only
     host↔device sync is the caller's loss fetch."""
-    total_loss, grads = _host_loss_grads(
-        params, base_leaves, view_indices, seeds, seeds_grad, refs, sdf_table,
-        base_treedef=base_treedef, loss_name=loss_name, cfg_primal=cfg_primal,
-        cfg_grad=cfg_grad, batch=batch, max_lanes=max_lanes,
-    )
+    if os.environ.get("DSDF_HOST_MODE", "view") == "slice":
+        total_loss, grads = _host_loss_grads(
+            params, base_leaves, view_indices, seeds, seeds_grad, refs,
+            sdf_table, base_treedef=base_treedef, loss_name=loss_name,
+            cfg_primal=cfg_primal, cfg_grad=cfg_grad, batch=batch,
+            max_lanes=max_lanes,
+        )
+    else:
+        total_loss, grads = _host_loss_grads_view(
+            params, base_leaves, view_indices, seeds, seeds_grad, refs,
+            sdf_table, base_treedef=base_treedef, loss_name=loss_name,
+            cfg_primal=cfg_primal, cfg_grad=cfg_grad, batch=batch,
+            max_lanes=int(os.environ.get("DSDF_HOST_CHUNK_LANES", 600_000)),
+            grad_remat=grad_remat,
+        )
     return _finish_step_jit(
         params, adam_state, ema, grads, total_loss, lrs,
         specs=specs, mask_updates=mask_updates,
@@ -877,6 +966,7 @@ def optimize_shape(
             # step under the remat scans compile-OOMs at 128³ (69.8 GB of
             # 128×-padded slice operands — see _build_scene).  ~ms per
             # iteration, amortized over a multi-second step.
+            _t_tab = time.perf_counter()
             sdf_table = None
             if _attach_tables() and gridops_stencil_ok(params["sdf"]):
                 from ..ops import grid as gridops
@@ -889,6 +979,7 @@ def optimize_shape(
                     sdf_table = gridops.build_stencil_incremental(params["sdf"])
                 else:
                     sdf_table = gridops.build_stencil(params["sdf"])
+            _t_tab = time.perf_counter() - _t_tab
             # dispatch choice (per phase: film res changes the estimate)
             b_ = BORDER if cfg_primal.sample_border else 0
             pw_ = (res[0] + 2 * b_) * (res[1] + 2 * b_)
@@ -906,6 +997,7 @@ def optimize_shape(
                     "device sharding mesh — use dispatch='jit'/'auto' with "
                     "mesh, or drop the mesh for host-sliced dispatch"
                 )
+            _t_step = time.perf_counter()
             if use_host:
                 params, adam_state, ema, loss = _train_step_host(
                     params, adam_state, ema, tuple(base_leaves), view_indices,
@@ -915,6 +1007,7 @@ def optimize_shape(
                     base_treedef=base_treedef,
                     mask_updates=method_cfg.mask_optimizer,
                     max_lanes=int(os.environ.get("DSDF_HOST_MAX_LANES", 300_000)),
+                    grad_remat=_grad_remat_auto(pw_, cfg_grad.spp),
                 )
             else:
                 params, adam_state, ema, loss = _train_step(
@@ -939,6 +1032,16 @@ def optimize_shape(
                     mesh=mesh,
                     grad_remat=_grad_remat_auto(pw_, cfg_grad.spp),
                 )
+            _t_step = time.perf_counter() - _t_step
+            if os.environ.get("DSDF_TIMING"):
+                # host = Python-side enqueue time of the step (includes any
+                # blocking puts); drain = device-side completion wait
+                _t_f = time.perf_counter()
+                _lv = float(loss)
+                _t_f = time.perf_counter() - _t_f
+                print(f"[timing] iter {i}: table {_t_tab:.2f}s  "
+                      f"host {_t_step:.2f}s  drain {_t_f:.2f}s  "
+                      f"(host_dispatch={use_host})", flush=True)
             loss_values.append(float(loss))
             if verbose and (i % 8 == 0 or i == n_iter - 1):
                 print(f"[{i:4d}] loss = {loss_values[-1]:.5f}  res={res}  sdf={params['sdf'].shape}")

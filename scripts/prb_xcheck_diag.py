@@ -23,12 +23,11 @@ from differentiable_sdf_rendering_tpu.models.camera import regular_cameras
 from differentiable_sdf_rendering_tpu.models.emitter import AreaEmitter, ConstantEmitter
 from differentiable_sdf_rendering_tpu.models.integrator import RenderConfig, render
 from differentiable_sdf_rendering_tpu.models.scene import Scene
-from differentiable_sdf_rendering_tpu.models.scenes_zoo import create_sphere_sdf
-from differentiable_sdf_rendering_tpu.ops.vecmath import translate_sdf
+from differentiable_sdf_rendering_tpu.ops.initializers import create_sphere_sdf
 
 
 def _set_p(scene, p):
-    return scene.replace(sdf=translate_sdf(scene.sdf, p))
+    return scene.replace(sdf=scene.sdf.replace(p=p))
 
 
 panel = AreaEmitter.create(

@@ -56,7 +56,8 @@ def main():
     scene = os.environ.get("PROTO_SCENE", "dragon")
     cfg_name = os.environ.get("PROTO_OPT", "no-tex-12")
     tag = os.environ.get("PROTO_TAG", "512")
-    out = os.path.join("output", "device_r4", f"{scene}-{cfg_name}-{tag}", "warp")
+    base = os.environ.get("PROTO_BASE", os.path.join("output", "device_r5"))
+    out = os.path.join(base, f"{scene}-{cfg_name}-{tag}", "warp")
     os.makedirs(out, exist_ok=True)
 
     mc = get_config("warp")

@@ -186,16 +186,18 @@ def test_prb_area_silhouette_gradient_fd():
         return jnp.sum(img[..., :3])
 
     # This cross-check (not the noisy 0.5-bounded FD above) is the
-    # load-bearing assertion for the boundary-term SCALE (ADVICE r3): 4
-    # independent seeds tighten the MC error vs the original 2-seed/0.2
-    # bound.  0.18, not 0.15: XLA accumulation order differs between xdist
-    # workers and single-process runs, shifting borderline components a few
-    # percent (0.15 passed standalone, failed under -n 4).
-    n_seeds_x = 4
+    # load-bearing assertion for the boundary-term SCALE (ADVICE r3), at
+    # the restored tight 0.15 bound (VERDICT r4 #8).  Measured margin
+    # (scripts/prb_xcheck_diag.py, 16 seeds): rel ≈ 0.000 — on this scene
+    # at depth 2 both integrators consume identical sample streams and the
+    # estimators agree bitwise, so the bound carries no MC slack; 2 seeds
+    # keep the test light (the r4 0.18 loosening chased an xdist WORKER
+    # CRASH misread as accumulation drift — /tmp prb_xdist_repro, r5).
+    n_seeds_x = 2
     g_dir = np.zeros(3)
     g_ad_x = np.zeros(3)
     for seed in range(n_seeds_x):
         g_dir += np.asarray(jax.grad(grad_sum_dir)(p0, seed)) / n_seeds_x
         g_ad_x += np.asarray(jax.grad(grad_sum)(p0, seed)) / n_seeds_x
     for k in (0, 1):
-        assert abs(g_ad_x[k] - g_dir[k]) / abs(g_dir[k]) < 0.18, (g_ad_x, g_dir)
+        assert abs(g_ad_x[k] - g_dir[k]) / abs(g_dir[k]) < 0.15, (g_ad_x, g_dir)
