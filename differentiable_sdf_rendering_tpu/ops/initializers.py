@@ -72,8 +72,23 @@ def upsample_sdf(data: jnp.ndarray) -> jnp.ndarray:
     if data.ndim == 4:
         data = data[..., 0]
     new_res = tuple(2 * s for s in data.shape)
-    pts = voxel_centers(new_res)
-    return gridops.grid_eval(data, pts.reshape(-1, 3)).reshape(new_res)
+    pts = voxel_centers(new_res).reshape(-1, 3)
+    n = pts.shape[0]
+    # Stencil-table + chunked evaluation: the one-shot per-tap eval
+    # materializes an (N, 4, 4, 4) fp32 tap tensor whose T(4, 128) tiling
+    # pads 32× — 16.00 GB at a 64³→128³ upsample (compile OOM observed on
+    # the r5 hq warm-start; the r4 512-run's upsamples were ≤262 k queries
+    # and never hit it).  The table keeps taps as (N, 64) rows (2× pad) and
+    # 262 k-point chunks bound each program's transient to ~128 MB.
+    st = gridops.build_stencil(data) if gridops.stencil_ok(data) else None
+    chunk = 262_144
+    if n <= chunk:
+        return gridops.grid_eval(data, pts, st).reshape(new_res)
+    outs = [
+        gridops.grid_eval(data, pts[i : i + chunk], st)
+        for i in range(0, n, chunk)
+    ]
+    return jnp.concatenate(outs).reshape(new_res)
 
 
 def upsample_volume(data: jnp.ndarray) -> jnp.ndarray:
@@ -84,8 +99,12 @@ def upsample_volume(data: jnp.ndarray) -> jnp.ndarray:
     assert data.ndim == 4
     new_res = tuple(2 * s for s in data.shape[:3])
     pts = voxel_centers(new_res).reshape(-1, 3)
+    chunk = 262_144  # bound per-program transients (see upsample_sdf)
     chans = [
-        gridops.grid_eval_trilinear(data[..., c], pts).reshape(new_res)
+        jnp.concatenate([
+            gridops.grid_eval_trilinear(data[..., c], pts[i : i + chunk])
+            for i in range(0, pts.shape[0], chunk)
+        ]).reshape(new_res)
         for c in range(data.shape[-1])
     ]
     return jnp.stack(chans, axis=-1)
