@@ -3,7 +3,10 @@
 # An attempt is killed only when it makes NO PROGRESS (attempt log silent
 # for WD_STALL seconds) — wall-clock-slow but advancing attempts survive.
 # Each retry resumes from the newest readable checkpoint.
-STALL=${WD_STALL:-480}
+# Default stall limit must exceed the attempt log's print cadence: loss
+# prints come every 8 iterations, so at hq's ~96 s/iter that is ~770 s of
+# legitimate silence (r5: WD_STALL=600 killed a healthy hq attempt).
+STALL=${WD_STALL:-1200}
 TRIES=${WD_TRIES:-12}
 LOG=${WD_LOG:-output/device_r4/proto512.log}
 SUMMARY_DIR=${WD_DIR:-output/device_r4/dragon-no-tex-12-512/warp}
