@@ -79,13 +79,14 @@ def _grad_remat_auto(pw: int, grad_spp: int) -> bool:
     env = os.environ.get("DSDF_GRAD_REMAT")
     if env in ("0", "1"):
         return env == "1"
-    # Conservative default: the residual-storing step measured 13.35 s/iter
-    # (vs 18.9 remat) on no-tex-12 (1.1 M grad lanes), but two device runs
-    # STALLED the worker in the 64³ phase with it active (r4, proto512
-    # attempts 1-2; the tunnel was degraded, so causality is unproven).
-    # Auto keeps remat ON above ~0.7 M lanes; opt in to the faster path
-    # with DSDF_GRAD_REMAT=0 when the chip is healthy.
-    return pw * grad_spp > 700_000
+    # r5 controlled A/B (scripts/remat_ab_r5.py, 4 alternating 10-iter
+    # 64³-final-phase blocks, same seeds): remat-off 18.85-18.92 s/iter vs
+    # remat-on 23.7-23.9, ZERO stalls in either arm — the r4 stall
+    # correlation was the degraded tunnel, not remat-off.  Residual storing
+    # is therefore the default up to ~2 M grad lanes (the no-tex-12 final
+    # phase is 1.1 M — measured fitting comfortably in 15.75 GB); beyond
+    # that residuals reach double-digit GB (the r1 17 GB OOM class).
+    return pw * grad_spp > 2_000_000
 
 
 def _write_loss_plot(loss_values, output_dir):
