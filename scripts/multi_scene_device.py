@@ -33,7 +33,7 @@ from differentiable_sdf_rendering_tpu.opt.opt_configs import get_opt_config
 
 
 def main():
-    scenes = os.environ.get("MS_SCENES", "sphere,torus,box,octahedron").split(",")
+    scenes = os.environ.get("MS_SCENES", "sphere,torus,bunny,cranium").split(",")
     n_iter = int(os.environ.get("MS_ITERS", "24"))
     mc = get_config("warp")
     oc, _ = get_opt_config(os.environ.get("MS_CONFIG", "no-tex-12"))
