@@ -185,6 +185,44 @@ def build_stencil_incremental(data: jnp.ndarray) -> jnp.ndarray:
         k0 = (a * 4 + 2 * half) * 4
         return jax.lax.dynamic_update_slice(table, rows, (k0, 0))
 
+    if n > _PACK_TABLE_ROWS:
+        # PACKED (⌈n/2⌉, 128) layout: two cells' 64-float windows share one
+        # 128-wide row — exactly one T(8, 128) tile, so the padded HBM
+        # footprint halves (256³: 8.28 GB → 4.45 GB; the (n, 64) form pads
+        # its 64 columns to 128).  _tap_setup gathers row ``cell >> 1`` and
+        # selects the half by ``cell & 1``; gather cost is identical (row-
+        # bound, width-free — BASELINE.md r2).  Build: even/odd column
+        # buffers + one fused transpose-concat (peak ≈ inputs + output).
+        m = (n + 1) // 2
+        te = jnp.zeros((64, m), data.dtype)
+        to = jnp.zeros((64, m), data.dtype)
+
+        @_ft.partial(jax.jit, donate_argnums=(0, 1),
+                     static_argnames=("a", "half"))
+        def set_half_packed(te, to, padded, a, half):
+            rows = jnp.stack(
+                [
+                    jax.lax.dynamic_slice(
+                        padded, (a, b, c), (z + 3, y + 3, x + 3)
+                    ).reshape(-1)
+                    for b in range(2 * half, 2 * half + 2)
+                    for c in range(4)
+                ],
+                axis=0,
+            )
+            rows = jnp.pad(rows, ((0, 0), (0, 2 * m - n)))
+            k0 = (a * 4 + 2 * half) * 4
+            te = jax.lax.dynamic_update_slice(te, rows[:, 0::2], (k0, 0))
+            to = jax.lax.dynamic_update_slice(to, rows[:, 1::2], (k0, 0))
+            return te, to
+
+        for a in range(4):
+            for half in range(2):
+                te, to = set_half_packed(te, to, padded, a, half)
+        return jax.jit(
+            lambda e, o: jnp.concatenate([e.T, o.T], axis=1)
+        )(te, to)
+
     table = jnp.zeros((64, n), data.dtype)
     for a in range(4):
         for half in range(2):
@@ -195,6 +233,13 @@ def build_stencil_incremental(data: jnp.ndarray) -> jnp.ndarray:
 # Above this row count the stack+transpose transients of the traceable
 # builder exceed the chip (the table itself is rows × 256 B).
 _INCREMENTAL_BUILD_ROWS = (128 + 3) ** 3 + 1
+
+# Above this row count the incremental builder emits the PACKED (⌈n/2⌉, 128)
+# layout (see build_stencil_incremental) — 256³-class tables halve their
+# padded HBM footprint.  Gradients never flow through packed tables
+# (opt/shape_opt routes >8M-row grad renders per-tap); attach_stencil's
+# bwd rejects them loudly.
+_PACK_TABLE_ROWS = 8_000_000
 
 
 def _fold_edge_pad(g, lo, hi, axis):
@@ -262,6 +307,12 @@ def _attach_stencil_fwd(data, table):
 
 
 def _attach_stencil_bwd(shape, dtable):
+    if dtable.shape[-1] == 128:
+        raise NotImplementedError(
+            "gradients cannot flow through a PACKED stencil table — pass "
+            "grad renders the raw grid (opt/shape_opt gates this on "
+            "_GRAD_TABLE_MAX_ROWS) or an unpacked (n, 64) table"
+        )
     return (_build_stencil_bwd(shape, dtable)[0], jnp.zeros_like(dtable))
 
 
@@ -349,7 +400,14 @@ def _tap_setup(data: jnp.ndarray, p: jnp.ndarray, stencil: jnp.ndarray | None = 
         )
     else:
         lin = (bz * (yres + 3) + by) * (xres + 3) + bx
-    rows = jnp.take(stencil, lin.reshape(-1), axis=0)  # (N, 64)
+    if stencil.shape[-1] == 128:
+        # packed pair layout (build_stencil_incremental ≥ _PACK_TABLE_ROWS):
+        # row cell>>1 holds cells 2k (cols :64) and 2k+1 (cols 64:)
+        rows128 = jnp.take(stencil, (lin >> 1).reshape(-1), axis=0)
+        odd = ((lin & 1) == 1).reshape(-1)[:, None]
+        rows = jnp.where(odd, rows128[:, 64:], rows128[:, :64])
+    else:
+        rows = jnp.take(stencil, lin.reshape(-1), axis=0)  # (N, 64)
     taps = rows.reshape(p.shape[:-1] + (4, 4, 4))
     return taps, f, res
 

@@ -66,6 +66,12 @@ _LOSSES = {
 # crashed the worker 3× (BASELINE.md r3).
 _HOST_DISPATCH_LANES = 80_000_000
 
+# Largest stencil table (rows) allowed on the GRADIENT path: above this the
+# padded table + its padded VJP cotangent exceed HBM (256³ = 17.4M rows =
+# 2×8.28 GB padded — observed hqq compile OOM, r5); the grad render then
+# uses the per-tap path (d/ddata scatters into the raw grid).
+_GRAD_TABLE_MAX_ROWS = 8_000_000
+
 
 def _grad_remat_auto(pw: int, grad_spp: int) -> bool:
     """Whether the training gradient render rematerializes its chunk scan.
@@ -659,9 +665,22 @@ def _view_loss_grads_jit(params, base_leaves, sdf_table, vidx, seed_p, seed_g,
                            mode="primal", camera=cam, n_chunks=nc_primal)[..., :3]
     lval, dimg = jax.value_and_grad(lambda im: loss_fn(im, ref) / batch)(img_p)
 
+    # 256³-class tables CANNOT ride the gradient path: the T(8,128) tile
+    # pads the fp32 (17.4M, 64) table to 8.28 GB and the VJP through
+    # attach_stencil materializes an equally-padded table COTANGENT —
+    # two such buffers alone exceed the 15.75 GB v5e (observed hqq compile
+    # OOM, r5).  The primal/forward renders keep the table (no cotangent);
+    # the gradient render falls back to the per-tap path, whose d/ddata
+    # scatters go directly into the 256³ grid (64 MB).
+    grad_table = sdf_table
+    if sdf_table is not None and (
+        sdf_table.shape[-1] == 128 or sdf_table.shape[0] > _GRAD_TABLE_MAX_ROWS
+    ):
+        grad_table = None
+
     def rfun(p):
         return render_chunked(
-            _build_scene(base, p, sdf_table), seed=seed_g, cfg=cfg_grad,
+            _build_scene(base, p, grad_table), seed=seed_g, cfg=cfg_grad,
             mode="grad", camera=cam, n_chunks=nc_grad, remat=grad_remat,
         )[..., :3]
 
@@ -692,7 +711,15 @@ def _host_loss_grads_view(
     cam0 = base.cameras.view(0)
     pw = (cam0.resx + 2 * b) * (cam0.resy + 2 * b)
     ncp = _host_chunks(pw, cfg_primal.spp, max_lanes)
-    ncg = _host_chunks(pw, cfg_grad.spp, max_lanes)
+    grad_max = max_lanes
+    if sdf_table is not None and (
+        sdf_table.shape[-1] == 128 or sdf_table.shape[0] > _GRAD_TABLE_MAX_ROWS
+    ):
+        # per-tap grad fallback (see _view_loss_grads_jit): the (N, 4, 4, 4)
+        # tap tensor pads 32× under the T(4, 128) tile — bound the chunk to
+        # keep that transient ~1 GB
+        grad_max = min(grad_max, 131_072)
+    ncg = _host_chunks(pw, cfg_grad.spp, grad_max)
     grads = jax.tree_util.tree_map(lambda x: jnp.zeros(x.shape, x.dtype), params)
     total_loss = jnp.zeros(())
     for j, v in enumerate([int(x) for x in view_indices]):

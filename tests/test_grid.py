@@ -175,3 +175,35 @@ def test_incremental_builder_matches_traceable(random_grid):
     t1 = gridops.build_stencil(random_grid)
     t2 = gridops.build_stencil_incremental(random_grid)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_packed_stencil_table_matches_unpacked(monkeypatch):
+    """r5: 256³-class tables use the PACKED (⌈n/2⌉, 128) layout (one full
+    T(8,128) tile per row — halves the padded HBM footprint; the hqq
+    compile-OOM fix).  Forced here at a tiny size: eval/grad/Hessian values
+    through the packed table must equal the unpacked-table and per-tap
+    paths exactly."""
+    import numpy as np
+
+    from differentiable_sdf_rendering_tpu.ops import grid as gridops
+    from differentiable_sdf_rendering_tpu.ops.initializers import create_sphere_sdf
+
+    data = create_sphere_sdf(9, radius=0.31, noise_sigma=0.02, seed=3)
+    n = (9 + 3) ** 3  # odd row count exercises the pad row
+    monkeypatch.setattr(gridops, "_PACK_TABLE_ROWS", 0)
+    packed = gridops.build_stencil_incremental(data)
+    assert packed.shape == ((n + 1) // 2, 128)
+    unpacked = gridops.build_stencil(data)
+
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (257, 3), minval=-0.1,
+                             maxval=1.1)
+    for fn in (gridops.grid_eval, gridops.grid_eval_grad):
+        a = fn(data, pts, packed)
+        b = fn(data, pts, unpacked)
+        c = fn(data, pts, None)
+        for x, y in ((a, b), (a, c)):
+            np.testing.assert_allclose(
+                np.asarray(jnp.asarray(jax.tree_util.tree_leaves(x)[0])),
+                np.asarray(jnp.asarray(jax.tree_util.tree_leaves(y)[0])),
+                rtol=2e-6, atol=2e-6,
+            )
