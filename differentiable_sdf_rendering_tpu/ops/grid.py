@@ -216,17 +216,43 @@ def build_stencil_incremental(data: jnp.ndarray) -> jnp.ndarray:
             to = jax.lax.dynamic_update_slice(to, rows[:, 1::2], (k0, 0))
             return te, to
 
-        for a in range(4):
-            for half in range(2):
-                te, to = set_half_packed(te, to, padded, a, half)
-        return jax.jit(
-            lambda e, o: jnp.concatenate([e.T, o.T], axis=1)
-        )(te, to)
+        for k, (a, half) in enumerate((a, h) for a in range(4) for h in range(2)):
+            te, to = set_half_packed(te, to, padded, a, half)
+            # Bound in-flight transients: dispatch on the axon tunnel is
+            # ASYNC and each queued dispatch holds its ~1.1 GB rows/pad
+            # temps — 8 at once exceeded HBM at 256³ (observed refs-time
+            # OOM, r5).  A forced scalar fetch every 2 dispatches caps the
+            # overlap at ~2.4 GB (block_until_ready does not wait on this
+            # platform).
+            if k % 2 == 1:
+                float(jnp.sum(te[0, :1]))
+
+        # Finalize in ~1M-row blocks written into a donated output: a
+        # whole-table `concatenate([te.T, to.T], 1)` materializes BOTH
+        # transposed copies at the (·, 64)→(·, 128)-padded size — 2×4.45 GB
+        # of temps on top of inputs+output (second observed refs-time OOM).
+        out = jnp.zeros((m, 128), data.dtype)
+
+        @_ft.partial(jax.jit, donate_argnums=(0,), static_argnames=("i", "c"))
+        def write_block(out, te, to, i, c):
+            blk = jnp.concatenate(
+                [jax.lax.dynamic_slice(te, (0, i), (64, c)).T,
+                 jax.lax.dynamic_slice(to, (0, i), (64, c)).T], axis=1)
+            return jax.lax.dynamic_update_slice(out, blk, (i, 0))
+
+        step = 1_048_576
+        for j, i in enumerate(range(0, m, step)):
+            out = write_block(out, te, to, i, min(step, m - i))
+            if j % 3 == 2:  # cap queued ~0.6 GB block temps at ~2 GB
+                float(jnp.sum(out[0, :1]))
+        float(jnp.sum(out[0, :1]))
+        return out
 
     table = jnp.zeros((64, n), data.dtype)
     for a in range(4):
         for half in range(2):
             table = set_half(table, padded, a, half)
+            float(jnp.sum(table[0, :1]))  # bound in-flight transients (see above)
     return jax.jit(jnp.transpose)(table)
 
 

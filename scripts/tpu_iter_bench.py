@@ -39,6 +39,13 @@ def main():
         # them via render_upsample_iter); only the schedules are emptied so
         # iteration 0 starts at the final SDF res + final film res.
         oc = dataclasses.replace(oc, upsample_iter=(), render_upsample_iter=())
+    if os.environ.get("ITER_FILM"):
+        # e.g. hqq's 256³-grid × 256²-film MID phase (iters 270-300 of its
+        # schedule): ITER_PHASE=final ITER_FILM=256 — the full-film final
+        # phase (512²) is the program class that crashes this v5e worker
+        # (BASELINE.md r5 hqq status)
+        fr = int(os.environ["ITER_FILM"])
+        oc = dataclasses.replace(oc, resx=fr, resy=fr)
     times = []
 
     def cb(i, params, losses):
