@@ -44,6 +44,12 @@ def render_turntable(scene, output_dir, resx=128, resy=128, spp=64, n_frames=64,
     os.makedirs(frame_dir, exist_ok=True)
     cfg = cfg or RenderConfig()
     cfg = dataclasses.replace(cfg, spp=spp)
+    # Prepare the stencil table EAGERLY: an unprepared grid auto-prepares
+    # inside the render jit, where the traceable builder's (N, 1) column
+    # operands pad 128× under the TPU tile — ~1.07 GB per slice op at 128³
+    # (observed compile OOM on the r5 hq turntable)
+    if getattr(scene.sdf, "stencil", 1) is None:
+        scene = scene.replace(sdf=scene.sdf.prepare())
     cams = turntable_cameras(n_frames, resx=resx, resy=resy)
     for frame in range(n_frames):
         img = render_chunked(
